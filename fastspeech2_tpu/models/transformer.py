@@ -1,0 +1,168 @@
+"""FFT-block transformer encoder/decoder (Flax).
+
+Architecture parity with the reference (transformer/{Models,Layers,
+SubLayers,Modules}.py): post-LN residual multi-head self-attention followed
+by a conv(k=9)->ReLU->conv(k=1) position-wise FFN, padded rows zeroed after
+each sublayer, fixed sinusoid position encodings added to the input.
+
+TPU-first differences: static shapes everywhere, heads kept as a tensor axis
+(shardable for TP), fp32 softmax/LN under a bf16 compute dtype, and the
+sinusoid table generated per static length (subsuming the reference's
+eval-time PE extension, Models.py:82-87/145-151).
+"""
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fastspeech2_tpu.models.common import (
+    TorchConv1d,
+    TorchDense,
+    TorchLayerNorm,
+    embedding_init_with_pad,
+)
+from fastspeech2_tpu.ops.attention import multi_head_attention
+from fastspeech2_tpu.ops.masking import fill_masked
+from fastspeech2_tpu.ops.positional import sinusoid_position_encoding
+
+PAD_ID = 0
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Post-LN residual MHA (reference transformer/SubLayers.py:8-57)."""
+
+    n_head: int
+    d_model: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_pad_mask, deterministic=True):
+        d_head = self.d_model // self.n_head
+        residual = x
+        b, l, _ = x.shape
+
+        def proj(name):
+            y = TorchDense(self.n_head * d_head, dtype=self.dtype, name=name)(x)
+            return y.reshape(b, l, self.n_head, d_head).transpose(0, 2, 1, 3)
+
+        q, k, v = proj("w_qs"), proj("w_ks"), proj("w_vs")
+        out = multi_head_attention(q, k, v, key_pad_mask, dtype=self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, self.n_head * d_head)
+        out = TorchDense(self.d_model, dtype=self.dtype, name="fc")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return TorchLayerNorm(self.d_model, dtype=self.dtype)(out + residual)
+
+
+class ConvFeedForward(nn.Module):
+    """conv1d(k0) -> ReLU -> conv1d(k1) -> dropout -> post-LN residual
+    (reference transformer/SubLayers.py:60-93)."""
+
+    d_model: int
+    d_inner: int
+    kernel_size: Tuple[int, int]
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        residual = x
+        y = TorchConv1d(self.d_inner, self.kernel_size[0], dtype=self.dtype,
+                        name="w_1")(x)
+        y = nn.relu(y)
+        y = TorchConv1d(self.d_model, self.kernel_size[1], dtype=self.dtype,
+                        name="w_2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return TorchLayerNorm(self.d_model, dtype=self.dtype)(y + residual)
+
+
+class FFTBlock(nn.Module):
+    """Self-attention + conv FFN, zeroing padded rows after each sublayer
+    (reference transformer/Layers.py:11-30)."""
+
+    d_model: int
+    n_head: int
+    d_inner: int
+    kernel_size: Tuple[int, int]
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic=True):
+        x = MultiHeadSelfAttention(
+            self.n_head, self.d_model, self.dropout, dtype=self.dtype,
+            name="slf_attn",
+        )(x, pad_mask, deterministic=deterministic)
+        x = fill_masked(x, pad_mask)
+        x = ConvFeedForward(
+            self.d_model, self.d_inner, self.kernel_size, self.dropout,
+            dtype=self.dtype, name="pos_ffn",
+        )(x, deterministic=deterministic)
+        x = fill_masked(x, pad_mask)
+        return x
+
+
+class Encoder(nn.Module):
+    """Phone embedding + PE + N x FFTBlock (reference transformer/Models.py:33-100)."""
+
+    vocab_size: int
+    n_layers: int
+    n_head: int
+    d_model: int
+    d_inner: int
+    kernel_size: Tuple[int, int]
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src_seq, src_pad_mask, deterministic=True):
+        emb = nn.Embed(
+            self.vocab_size,
+            self.d_model,
+            embedding_init=embedding_init_with_pad(PAD_ID),
+            param_dtype=jnp.float32,
+            dtype=self.dtype,
+            name="src_word_emb",
+        )(src_seq)
+        seq_len = src_seq.shape[1]
+        pe = sinusoid_position_encoding(seq_len, self.d_model, dtype=self.dtype)
+        x = emb + pe[None, :, :]
+        for i in range(self.n_layers):
+            x = FFTBlock(
+                self.d_model, self.n_head, self.d_inner, self.kernel_size,
+                self.dropout, dtype=self.dtype, name=f"layer_{i}",
+            )(x, src_pad_mask, deterministic=deterministic)
+        return x
+
+
+class Decoder(nn.Module):
+    """PE + N x FFTBlock over frames; truncates to max_seq_len like the
+    reference's training path (transformer/Models.py:154-162).  With static
+    bucketed frame lengths the truncation is a compile-time slice."""
+
+    n_layers: int
+    n_head: int
+    d_model: int
+    d_inner: int
+    kernel_size: Tuple[int, int]
+    dropout: float
+    max_seq_len: int = 1000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mel_pad_mask, deterministic=True,
+                 truncate_to_max_len=True):
+        seq_len = x.shape[1]
+        if truncate_to_max_len and seq_len > self.max_seq_len:
+            x = x[:, : self.max_seq_len]
+            mel_pad_mask = mel_pad_mask[:, : self.max_seq_len]
+            seq_len = self.max_seq_len
+        pe = sinusoid_position_encoding(seq_len, self.d_model, dtype=self.dtype)
+        x = x + pe[None, :, :]
+        for i in range(self.n_layers):
+            x = FFTBlock(
+                self.d_model, self.n_head, self.d_inner, self.kernel_size,
+                self.dropout, dtype=self.dtype, name=f"layer_{i}",
+            )(x, mel_pad_mask, deterministic=deterministic)
+        return x, mel_pad_mask

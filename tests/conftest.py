@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; switch back to the simulated-device CPU platform
+# for tests (the env var alone is not enough).
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"
