@@ -1,0 +1,115 @@
+"""Pure train/eval step functions (the hot loop).
+
+One jitted, donated, mesh-sharded function per step — the TPU equivalent of
+the reference's forward/backward/clip/Noam sequence (train.py:79-97) with
+gradient accumulation folded in as a lax.scan over micro-batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fastspeech2_tpu.models.loss import LossOutput, fastspeech2_loss
+
+
+def _apply_model(model, cfg, params, batch_stats, batch, rng, train):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    kwargs = dict(
+        mels=batch["mels"],
+        mel_lens=batch["mel_lens"],
+        max_mel_len=batch["mels"].shape[1],
+        p_targets=batch["pitches"],
+        e_targets=batch["energies"],
+        d_targets=batch["durations"],
+        train=train,
+    )
+    if train:
+        out, mutated = model.apply(
+            variables,
+            batch["speakers"], batch["texts"], batch["src_lens"],
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+            **kwargs,
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(
+            variables,
+            batch["speakers"], batch["texts"], batch["src_lens"],
+            **kwargs,
+        )
+        new_stats = batch_stats
+    losses = fastspeech2_loss(
+        cfg, out, batch["mels"], batch["pitches"], batch["energies"],
+        batch["durations"],
+    )
+    return losses, new_stats, out
+
+
+def make_train_step(model, cfg, optimizer, grad_acc_step=1):
+    """Build train_step(state, batch, rng) -> (state, LossOutput).
+
+    For grad_acc_step > 1 every batch array must carry a leading micro axis
+    [A, B/A, ...]; gradients are averaged over micro-steps, matching the
+    reference's loss/acc backward (train.py:89-97).
+    """
+
+    def grads_of(params, batch_stats, batch, rng):
+        def loss_fn(p):
+            losses, new_stats, _ = _apply_model(
+                model, cfg, p, batch_stats, batch, rng, train=True)
+            return losses.total, (losses, new_stats)
+
+        grads, (losses, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(params)
+        return grads, losses, new_stats
+
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if grad_acc_step == 1:
+            grads, losses, new_stats = grads_of(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            def body(carry, micro):
+                acc, stats, i = carry
+                g, losses, stats = grads_of(
+                    state.params, stats, micro,
+                    jax.random.fold_in(rng, i))
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (acc, stats, i + 1), losses
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p), state.params)
+            (grads, new_stats, _), losses_seq = jax.lax.scan(
+                body, (zero, state.batch_stats, 0), batch)
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_acc_step, grads)
+            losses = jax.tree_util.tree_map(jnp.mean, losses_seq)
+
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    """Teacher-forced eval losses (reference evaluate.py:37-51 semantics:
+    dropout off, BatchNorm running stats)."""
+
+    def eval_step(state, batch):
+        losses, _, _ = _apply_model(
+            model, cfg, state.params, state.batch_stats, batch,
+            rng=None, train=False)
+        return losses
+
+    return eval_step
