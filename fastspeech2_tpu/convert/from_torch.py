@@ -39,8 +39,10 @@ def conv1d(sd, prefix):
 
 
 def conv_transpose1d(sd, prefix):
-    # torch ConvTranspose1d weight: [in, out, k] -> flax [k, in, out]
-    out = {"kernel": _t(sd[prefix + ".weight"]).transpose(2, 0, 1)}
+    # torch ConvTranspose1d weight: [in, out, k] -> flax [k, in, out];
+    # torch's transposed conv scatters the kernel time-reversed relative to
+    # flax's fractionally-strided conv, so flip the spatial axis.
+    out = {"kernel": _t(sd[prefix + ".weight"]).transpose(2, 0, 1)[::-1].copy()}
     if prefix + ".bias" in sd:
         out["bias"] = _t(sd[prefix + ".bias"])
     return out
@@ -174,7 +176,7 @@ def _wn_conv1d(sd, prefix):
 
 def _wn_conv_transpose1d(sd, prefix):
     w = _fold_weight_norm(sd, prefix)  # [in, out, k]
-    out = {"kernel": w.transpose(2, 0, 1)}
+    out = {"kernel": w.transpose(2, 0, 1)[::-1].copy()}
     if prefix + ".bias" in sd:
         out["bias"] = _t(sd[prefix + ".bias"])
     return out

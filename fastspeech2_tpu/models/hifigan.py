@@ -1,0 +1,107 @@
+"""HiFi-GAN generator (vocoder) in Flax.
+
+Behavioral parity with the vendored reference generator
+(hifigan/models.py:112-174, hyperparams hifigan/config.json:10-14):
+conv_pre(80->512, k7) -> 4 x [leaky_relu(0.1) -> ConvTranspose upsample
+(rates 8,8,2,2; kernels 16,16,4,4) -> mean of 3 multi-receptive-field
+ResBlocks (k=3,7,11; dilations (1,3,5))] -> leaky_relu -> conv_post(->1, k7)
+-> tanh.  Weight norm is folded into plain kernels at checkpoint conversion
+(mirroring remove_weight_norm() at load, utils/model.py:68).
+
+Everything here is channels-last [B, T, C]; XLA lowers the transposed convs
+and dilated convs onto the MXU.  Inference-only (the reference ships no
+vocoder trainer; training-side discriminators are out of scope to match).
+"""
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def _same_pad(kernel_size, dilation=1):
+    pad = (kernel_size * dilation - dilation) // 2
+    return ((pad, pad),)
+
+
+class ResBlock(nn.Module):
+    """MRF residual block: 3 x [lrelu -> dilated conv -> lrelu -> conv]."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for j, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = nn.Conv(
+                self.channels, (self.kernel_size,), kernel_dilation=(d,),
+                padding=_same_pad(self.kernel_size, d),
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"conv1_{j}",
+            )(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = nn.Conv(
+                self.channels, (self.kernel_size,),
+                padding=_same_pad(self.kernel_size, 1),
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"conv2_{j}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Tuple[int, ...]] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    n_mel_channels: int = 80
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, n_mels] -> wav [B, T * prod(upsample_rates)]."""
+        x = nn.Conv(
+            self.upsample_initial_channel, (7,), padding=((3, 3),),
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv_pre",
+        )(mel)
+        num_kernels = len(self.resblock_kernel_sizes)
+        for i, (u, k) in enumerate(
+            zip(self.upsample_rates, self.upsample_kernel_sizes)
+        ):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) yields
+            # exactly T*u output frames; flax 'VALID' yields T*u + (k-u),
+            # so crop the same (k-u)//2 border torch's padding removes.
+            x = nn.ConvTranspose(
+                ch, (k,), strides=(u,), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"up_{i}",
+            )(x)
+            crop = (k - u) // 2
+            if crop:
+                x = x[:, crop:-crop, :]
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                y = ResBlock(
+                    ch, rk, tuple(rd), dtype=self.dtype,
+                    name=f"resblock_{i * num_kernels + j}",
+                )(x)
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(
+            1, (7,), padding=((3, 3),),
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv_post",
+        )(x)
+        return jnp.tanh(x)[..., 0]
