@@ -1,0 +1,277 @@
+"""Corpus preprocessing: MFA TextGrids + wavs -> training features.
+
+Reproduces the reference pipeline (preprocessor/preprocessor.py:16-314):
+per utterance, read the "phones" alignment tier, trim surrounding silences,
+round interval edges to mel frames for durations, slice the wav, estimate
+F0 (JAX YIN in place of pyworld DIO+StoneMask — same contract: Hz per mel
+frame, 0 = unvoiced), compute mel+energy with the JAX TacotronSTFT
+equivalent, linearly interpolate unvoiced F0, average pitch/energy per
+phoneme, write .npy features; then corpus-wide mean/std normalization with
+IQR-outlier-free min/max into stats.json, speakers.json, and shuffled
+train/val metadata splits.
+
+Unlike the reference (which runs one CUDA conv per utterance,
+audio/stft.py:68-72), mel extraction here is a single jitted JAX function;
+utterances are processed through it with padding to a few static lengths so
+recompilation stays bounded.
+"""
+
+import json
+import os
+import random
+
+import numpy as np
+
+from fastspeech2_tpu.audio import interpolate_unvoiced, yin_f0
+from fastspeech2_tpu.audio.stft import MelSpectrogram
+from fastspeech2_tpu.audio.wav import load_wav
+from fastspeech2_tpu.preprocessing.textgrid import read_textgrid
+
+SIL_PHONES = ["sil", "sp", "spn"]
+
+
+class OnlineScaler:
+    """Running mean/std (StandardScaler.partial_fit equivalent)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def update(self, values):
+        values = np.asarray(values, dtype=np.float64).ravel()
+        if values.size == 0:
+            return
+        n_b = values.size
+        mean_b = values.mean()
+        var_b = values.var()
+        n = self.n + n_b
+        delta = mean_b - self.mean
+        self.m2 += var_b * n_b + delta ** 2 * self.n * n_b / n
+        self.mean += delta * n_b / n
+        self.n = n
+
+    @property
+    def std(self):
+        return np.sqrt(self.m2 / self.n) if self.n else 1.0
+
+
+def remove_outliers(values):
+    """IQR-filter (reference preprocessor/preprocessor.py:293-301)."""
+    values = np.asarray(values)
+    if values.size == 0:
+        return values
+    p25, p75 = np.percentile(values, [25, 75])
+    lower = p25 - 1.5 * (p75 - p25)
+    upper = p75 + 1.5 * (p75 - p25)
+    return values[np.logical_and(values > lower, values < upper)]
+
+
+class Preprocessor:
+    def __init__(self, config):
+        self.config = config
+        self.in_dir = config["path"]["raw_path"]
+        self.out_dir = config["path"]["preprocessed_path"]
+        pp = config["preprocessing"]
+        self.val_size = pp["val_size"]
+        self.sampling_rate = pp["audio"]["sampling_rate"]
+        self.hop_length = pp["stft"]["hop_length"]
+        assert pp["pitch"]["feature"] in ["phoneme_level", "frame_level"]
+        assert pp["energy"]["feature"] in ["phoneme_level", "frame_level"]
+        self.pitch_phoneme_averaging = (
+            pp["pitch"]["feature"] == "phoneme_level")
+        self.energy_phoneme_averaging = (
+            pp["energy"]["feature"] == "phoneme_level")
+        self.pitch_normalization = pp["pitch"]["normalization"]
+        self.energy_normalization = pp["energy"]["normalization"]
+        self.mel_fn = MelSpectrogram(
+            filter_length=pp["stft"]["filter_length"],
+            hop_length=pp["stft"]["hop_length"],
+            win_length=pp["stft"]["win_length"],
+            n_mel_channels=pp["mel"]["n_mel_channels"],
+            sampling_rate=pp["audio"]["sampling_rate"],
+            mel_fmin=pp["mel"]["mel_fmin"],
+            mel_fmax=pp["mel"]["mel_fmax"] or self.sampling_rate / 2,
+        )
+
+    # ------------------------------------------------------------------
+
+    def build_from_path(self):
+        import jax.numpy as jnp
+
+        for sub in ["mel", "pitch", "energy", "duration"]:
+            os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
+
+        out = []
+        n_frames = 0
+        pitch_scaler, energy_scaler = OnlineScaler(), OnlineScaler()
+        speakers = {}
+        for i, speaker in enumerate(sorted(os.listdir(self.in_dir))):
+            spk_dir = os.path.join(self.in_dir, speaker)
+            if not os.path.isdir(spk_dir):
+                continue
+            speakers[speaker] = i
+            for wav_name in sorted(os.listdir(spk_dir)):
+                if not wav_name.endswith(".wav"):
+                    continue
+                basename = wav_name[:-4]
+                tg_path = os.path.join(
+                    self.out_dir, "TextGrid", speaker,
+                    f"{basename}.TextGrid")
+                if not os.path.exists(tg_path):
+                    continue
+                ret = self.process_utterance(speaker, basename)
+                if ret is None:
+                    continue
+                info, pitch, energy, n = ret
+                out.append(info)
+                if len(pitch) > 0:
+                    pitch_scaler.update(pitch)
+                if len(energy) > 0:
+                    energy_scaler.update(energy)
+                n_frames += n
+
+        pitch_mean = pitch_scaler.mean if self.pitch_normalization else 0.0
+        pitch_std = pitch_scaler.std if self.pitch_normalization else 1.0
+        energy_mean = energy_scaler.mean if self.energy_normalization else 0.0
+        energy_std = energy_scaler.std if self.energy_normalization else 1.0
+
+        pitch_min, pitch_max = self._normalize_dir(
+            os.path.join(self.out_dir, "pitch"), pitch_mean, pitch_std)
+        energy_min, energy_max = self._normalize_dir(
+            os.path.join(self.out_dir, "energy"), energy_mean, energy_std)
+
+        with open(os.path.join(self.out_dir, "speakers.json"), "w") as f:
+            json.dump(speakers, f)
+        with open(os.path.join(self.out_dir, "stats.json"), "w") as f:
+            json.dump({
+                "pitch": [float(pitch_min), float(pitch_max),
+                          float(pitch_mean), float(pitch_std)],
+                "energy": [float(energy_min), float(energy_max),
+                           float(energy_mean), float(energy_std)],
+            }, f)
+
+        print("Total time: {:.2f} hours".format(
+            n_frames * self.hop_length / self.sampling_rate / 3600))
+
+        random.shuffle(out)
+        with open(os.path.join(self.out_dir, "train.txt"), "w",
+                  encoding="utf-8") as f:
+            for m in out[self.val_size:]:
+                f.write(m + "\n")
+        with open(os.path.join(self.out_dir, "val.txt"), "w",
+                  encoding="utf-8") as f:
+            for m in out[:self.val_size]:
+                f.write(m + "\n")
+        return out
+
+    # ------------------------------------------------------------------
+
+    def process_utterance(self, speaker, basename):
+        import jax.numpy as jnp
+
+        wav_path = os.path.join(self.in_dir, speaker, f"{basename}.wav")
+        text_path = os.path.join(self.in_dir, speaker, f"{basename}.lab")
+        tg_path = os.path.join(
+            self.out_dir, "TextGrid", speaker, f"{basename}.TextGrid")
+
+        textgrid = read_textgrid(tg_path)
+        phones, durations, start, end = self.get_alignment(
+            textgrid.get_tier_by_name("phones"))
+        text = "{" + " ".join(phones) + "}"
+        if start >= end:
+            return None
+
+        wav, _ = load_wav(wav_path, target_sr=self.sampling_rate)
+        wav = wav[int(self.sampling_rate * start):
+                  int(self.sampling_rate * end)]
+        total = int(sum(durations))
+
+        with open(text_path) as f:
+            raw_text = f.readline().strip("\n")
+
+        pitch = np.asarray(yin_f0(
+            jnp.asarray(wav), self.sampling_rate, self.hop_length))
+        pitch = pitch[:total]
+        if np.sum(pitch != 0) <= 1:
+            return None
+
+        mel, energy = self.mel_fn(jnp.asarray(wav, jnp.float32)[None, :])
+        mel = np.asarray(mel)[0][:, :total]              # [n_mels, T]
+        energy = np.asarray(energy)[0][:total]
+
+        if self.pitch_phoneme_averaging:
+            pitch = interpolate_unvoiced(pitch)
+            pitch = _phoneme_average(pitch, durations)
+        if self.energy_phoneme_averaging:
+            energy = _phoneme_average(energy, durations)
+
+        np.save(os.path.join(self.out_dir, "duration",
+                             f"{speaker}-duration-{basename}.npy"),
+                np.asarray(durations))
+        np.save(os.path.join(self.out_dir, "pitch",
+                             f"{speaker}-pitch-{basename}.npy"), pitch)
+        np.save(os.path.join(self.out_dir, "energy",
+                             f"{speaker}-energy-{basename}.npy"), energy)
+        np.save(os.path.join(self.out_dir, "mel",
+                             f"{speaker}-mel-{basename}.npy"), mel.T)
+
+        return (
+            "|".join([basename, speaker, text, raw_text]),
+            remove_outliers(pitch),
+            remove_outliers(energy),
+            mel.shape[1],
+        )
+
+    # ------------------------------------------------------------------
+
+    def get_alignment(self, tier):
+        """Silence-trimmed phones + frame-rounded durations
+        (reference preprocessor/preprocessor.py:253-291)."""
+        phones, durations = [], []
+        start_time = end_time = 0.0
+        end_idx = 0
+        for iv in tier.intervals:
+            s, e, p = iv.start_time, iv.end_time, iv.text
+            if not phones:
+                if p in SIL_PHONES or p == "":
+                    continue
+                start_time = s
+            if p == "":
+                p = "sp"  # MFA emits empty text for short pauses
+            if p not in SIL_PHONES:
+                phones.append(p)
+                end_time = e
+                end_idx = len(phones)
+            else:
+                phones.append(p)
+            durations.append(int(
+                np.round(e * self.sampling_rate / self.hop_length)
+                - np.round(s * self.sampling_rate / self.hop_length)))
+        return phones[:end_idx], durations[:end_idx], start_time, end_time
+
+    def _normalize_dir(self, in_dir, mean, std):
+        max_value, min_value = np.finfo(np.float64).min, np.finfo(
+            np.float64).max
+        for filename in os.listdir(in_dir):
+            path = os.path.join(in_dir, filename)
+            values = (np.load(path) - mean) / std
+            np.save(path, values)
+            if values.size:
+                max_value = max(max_value, values.max())
+                min_value = min(min_value, values.min())
+        return min_value, max_value
+
+
+def _phoneme_average(values, durations):
+    """Mean of frame values per phoneme
+    (reference preprocessor/preprocessor.py:209-228)."""
+    values = np.asarray(values, dtype=np.float64).copy()
+    pos = 0
+    for i, d in enumerate(durations):
+        if d > 0:
+            values[i] = np.mean(values[pos: pos + d])
+        else:
+            values[i] = 0.0
+        pos += d
+    return values[: len(durations)]

@@ -1,0 +1,74 @@
+"""Data pipeline tests: synthetic corpus round-trip, bucketed batching."""
+
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.data import (
+    BucketedLoader,
+    FeatureDataset,
+    generate_corpus,
+    synthetic_preprocess_config,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    generate_corpus(out, n_utterances=40, n_speakers=2, seed=1)
+    return out
+
+
+def test_dataset_loads(corpus):
+    cfg = synthetic_preprocess_config(corpus)
+    ds = FeatureDataset("train.txt", cfg)
+    assert len(ds) == 32
+    s = ds[0]
+    assert s["mel"].shape[0] == s["duration"].sum()
+    assert len(s["pitch"]) == len(s["duration"])
+    assert (s["text"] > 0).all()
+    assert len(s["text"]) == len(s["duration"])
+
+
+def test_bucketed_loader_static_shapes(corpus):
+    cfg = synthetic_preprocess_config(corpus)
+    ds = FeatureDataset("train.txt", cfg)
+    loader = BucketedLoader(ds, batch_size=8, group_size=2, shuffle=True,
+                            drop_last=True, text_bucket=8, mel_bucket=32)
+    shapes = set()
+    n = 0
+    for batch in loader.epoch(0):
+        assert batch["texts"].shape[0] == 8
+        assert batch["texts"].shape[1] % 8 == 0
+        assert batch["mels"].shape[1] % 32 == 0
+        assert batch["mels"].shape[1] >= batch["mel_lens"].max()
+        assert (batch["mel_lens"]
+                == batch["durations"].sum(1)).all()
+        shapes.add((batch["texts"].shape, batch["mels"].shape))
+        n += 1
+    assert n == 4
+    # bucketing should keep the number of distinct compile shapes bounded
+    assert len(shapes) <= 4
+
+
+def test_group_sorting_reduces_padding(corpus):
+    cfg = synthetic_preprocess_config(corpus)
+    ds = FeatureDataset("train.txt", cfg)
+    loader = BucketedLoader(ds, batch_size=4, group_size=4, shuffle=True,
+                            drop_last=True)
+    for batch in loader.epoch(0):
+        lens = batch["src_lens"]
+        # within a group-sorted batch lengths are close together
+        assert lens.max() - lens.min() <= lens.max()
+        break
+
+
+def test_partial_batch_padding(corpus):
+    cfg = synthetic_preprocess_config(corpus)
+    ds = FeatureDataset("val.txt", cfg)
+    assert len(ds) == 8
+    loader = BucketedLoader(ds, batch_size=3, group_size=1, shuffle=False,
+                            drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    assert batches[-1]["valid_count"] == 2
+    assert batches[-1]["texts"].shape[0] == 3  # padded to full batch

@@ -1,0 +1,158 @@
+"""Preprocessing tests: TextGrid parsing and the end-to-end feature
+extraction pipeline on a synthetic aligned corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.audio.wav import save_wav
+from fastspeech2_tpu.preprocessing import Preprocessor, read_textgrid
+
+LONG_TG = """File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 2.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 2.0
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0
+            xmax = 2.0
+            text = "hello"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 2.0
+        intervals: size = 4
+        intervals [1]:
+            xmin = 0
+            xmax = 0.25
+            text = "sil"
+        intervals [2]:
+            xmin = 0.25
+            xmax = 1.0
+            text = "HH"
+        intervals [3]:
+            xmin = 1.0
+            xmax = 1.75
+            text = "OW1"
+        intervals [4]:
+            xmin = 1.75
+            xmax = 2.0
+            text = "sp"
+"""
+
+
+def test_read_long_textgrid(tmp_path):
+    p = tmp_path / "a.TextGrid"
+    p.write_text(LONG_TG)
+    tg = read_textgrid(str(p))
+    phones = tg.get_tier_by_name("phones")
+    assert [iv.text for iv in phones.intervals] == ["sil", "HH", "OW1", "sp"]
+    assert phones.intervals[1].start_time == 0.25
+    assert phones.intervals[2].end_time == 1.75
+
+
+def _make_raw_corpus(root, n_utts=3):
+    """Sine-wave 'speech' + TextGrids with a sil/phone/phone/sp layout."""
+    sr = 22050
+    raw = os.path.join(root, "raw")
+    out = os.path.join(root, "pre")
+    spk = "spk0"
+    os.makedirs(os.path.join(raw, spk), exist_ok=True)
+    os.makedirs(os.path.join(out, "TextGrid", spk), exist_ok=True)
+    rng = np.random.RandomState(0)
+    for u in range(n_utts):
+        dur = 2.0
+        t = np.arange(int(sr * dur)) / sr
+        freq = 180 + 40 * u
+        y = 0.5 * np.sin(2 * np.pi * freq * t) * (1 + 0.1 * rng.randn(len(t)))
+        y = np.clip(y, -1, 1)
+        save_wav(os.path.join(raw, spk, f"u{u}.wav"), y, sr)
+        with open(os.path.join(raw, spk, f"u{u}.lab"), "w") as f:
+            f.write("hello")
+        with open(os.path.join(out, "TextGrid", spk, f"u{u}.TextGrid"),
+                  "w") as f:
+            f.write(LONG_TG)
+    return raw, out
+
+
+def _config(raw, out):
+    return {
+        "dataset": "synthetic",
+        "path": {"corpus_path": raw, "raw_path": raw,
+                 "preprocessed_path": out,
+                 "lexicon_path": "unused"},
+        "preprocessing": {
+            "val_size": 1,
+            "text": {"text_cleaners": ["english_cleaners"],
+                     "language": "en"},
+            "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
+            "stft": {"filter_length": 1024, "hop_length": 256,
+                     "win_length": 1024},
+            "mel": {"n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000},
+            "pitch": {"feature": "phoneme_level", "normalization": True},
+            "energy": {"feature": "phoneme_level", "normalization": True},
+        },
+    }
+
+
+def test_preprocessor_end_to_end(tmp_path):
+    raw, out = _make_raw_corpus(str(tmp_path))
+    cfg = _config(raw, out)
+    results = Preprocessor(cfg).build_from_path()
+    assert len(results) == 3
+
+    # artifacts exist
+    for sub in ["mel", "pitch", "energy", "duration"]:
+        files = os.listdir(os.path.join(out, sub))
+        assert len(files) == 3, sub
+    assert os.path.exists(os.path.join(out, "stats.json"))
+    assert os.path.exists(os.path.join(out, "speakers.json"))
+
+    # feature consistency: mel frames == duration sum; phoneme-level pitch
+    mel = np.load(os.path.join(out, "mel", "spk0-mel-u0.npy"))
+    dur = np.load(os.path.join(out, "duration", "spk0-duration-u0.npy"))
+    pitch = np.load(os.path.join(out, "pitch", "spk0-pitch-u0.npy"))
+    energy = np.load(os.path.join(out, "energy", "spk0-energy-u0.npy"))
+    assert mel.shape[0] == dur.sum()
+    assert mel.shape[1] == 80
+    # sil trimmed front, sp kept then trimmed at tail -> 2 phones
+    assert len(dur) == 2
+    assert len(pitch) == 2 and len(energy) == 2
+
+    # durations: 0.25-1.0s and 1.0-1.75s at hop 256 => ~65, ~64 frames
+    assert abs(int(dur[0]) - 65) <= 1 and abs(int(dur[1]) - 65) <= 1
+
+    # normalized stats: roughly zero-mean
+    import json
+
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["pitch"][0] < 0 < stats["pitch"][1]
+
+    # metadata loads through the Dataset
+    from fastspeech2_tpu.data import FeatureDataset
+
+    ds = FeatureDataset("train.txt", cfg)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["mel"].shape[0] == s["duration"].sum()
+
+    # pitch reflects the per-utterance tone ordering after normalization:
+    # utterances have 180/220/260 Hz tones; check monotone in raw pitch space
+    p_mean, p_std = stats["pitch"][2], stats["pitch"][3]
+    means = []
+    for u in range(3):
+        p = np.load(os.path.join(out, "pitch", f"spk0-pitch-u{u}.npy"))
+        means.append((p * p_std + p_mean).mean())
+    assert means[0] < means[1] < means[2]
+    assert abs(means[0] - 180) < 20
