@@ -1,0 +1,155 @@
+"""Text -> waveform synthesis pipeline.
+
+The TPU path: phone IDs (padded to a text bucket) -> one jitted acoustic
+forward with a static max_mel_len -> one jitted HiFi-GAN forward -> trim by
+mel_len.  Control ratios are traced scalars so sweeping p/e/d does not
+recompile.  Mirrors synthesize.py + utils/tools.py:164-210 outputs: per
+utterance a trimmed int16 wav and a mel/F0/energy png.
+"""
+
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.data.dataset import round_up
+from fastspeech2_tpu.synthesis.plotting import expand_by_duration, plot_mel
+from fastspeech2_tpu.synthesis.vocoder import vocoder_infer
+from fastspeech2_tpu.text import text_to_sequence
+from fastspeech2_tpu.text.g2p import (
+    english_to_phones,
+    mandarin_to_phones,
+    read_lexicon,
+)
+
+
+class Synthesizer:
+    def __init__(self, model, variables, config, preprocess_config,
+                 vocoder=None, max_mel_len=None, text_bucket=16):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.preprocess_config = preprocess_config
+        self.vocoder = vocoder
+        self.max_mel_len = max_mel_len or config.max_seq_len
+        self.text_bucket = text_bucket
+        self._lexicon = None
+
+        @partial(jax.jit, static_argnames=("max_mel_len",))
+        def _forward(variables, speakers, texts, src_lens, p, e, d,
+                     max_mel_len):
+            return model.apply(
+                variables, speakers, texts, src_lens,
+                max_mel_len=max_mel_len,
+                p_control=p, e_control=e, d_control=d,
+                train=False,
+            )
+
+        self._forward = _forward
+
+    # -- text frontends --------------------------------------------------
+
+    @property
+    def lexicon(self):
+        if self._lexicon is None:
+            path = self.preprocess_config["path"]["lexicon_path"]
+            self._lexicon = (read_lexicon(path)
+                             if os.path.exists(path) else {})
+        return self._lexicon
+
+    def text_to_ids(self, text):
+        pp = self.preprocess_config["preprocessing"]
+        language = pp["text"]["language"]
+        if language == "zh":
+            phones = mandarin_to_phones(text, self.lexicon)
+        else:
+            phones = english_to_phones(text, self.lexicon)
+        return np.asarray(
+            text_to_sequence(phones, pp["text"]["text_cleaners"]),
+            dtype=np.int32), phones
+
+    # -- inference -------------------------------------------------------
+
+    def infer_ids(self, id_seqs, speakers=None, p_control=1.0,
+                  e_control=1.0, d_control=1.0):
+        """id_seqs: list of int phone-ID arrays -> FastSpeech2Output."""
+        B = len(id_seqs)
+        P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
+        texts = np.zeros((B, P), np.int32)
+        src_lens = np.zeros(B, np.int32)
+        for b, s in enumerate(id_seqs):
+            texts[b, : len(s)] = s
+            src_lens[b] = len(s)
+        if speakers is None:
+            speakers = np.zeros(B, np.int32)
+        out = self._forward(
+            self.variables, jnp.asarray(speakers), jnp.asarray(texts),
+            jnp.asarray(src_lens),
+            jnp.float32(p_control), jnp.float32(e_control),
+            jnp.float32(d_control),
+            max_mel_len=self.max_mel_len,
+        )
+        return out
+
+    def synthesize(self, texts, speakers=None, p_control=1.0, e_control=1.0,
+                   d_control=1.0):
+        """list of raw strings -> (list of int16 wavs, FastSpeech2Output)."""
+        id_seqs = [self.text_to_ids(t)[0] for t in texts]
+        out = self.infer_ids(id_seqs, speakers, p_control, e_control,
+                             d_control)
+        mel_len = np.asarray(out.mel_len)
+        wavs = None
+        if self.vocoder is not None:
+            wavs = vocoder_infer(
+                out.postnet_mel, self.vocoder, self.preprocess_config,
+                lengths=mel_len)
+        return wavs, out
+
+    # -- result files ----------------------------------------------------
+
+    def save_results(self, ids, out, wavs, result_path):
+        """Write <id>.wav + <id>.png for each utterance
+        (utils/tools.py:164-210)."""
+        os.makedirs(result_path, exist_ok=True)
+        pp = self.preprocess_config["preprocessing"]
+        sampling_rate = pp["audio"]["sampling_rate"]
+        stats_path = os.path.join(
+            self.preprocess_config["path"]["preprocessed_path"],
+            "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats = json.load(f)
+            stats = stats["pitch"] + stats["energy"][:2]
+        else:
+            stats = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+
+        from scipy.io import wavfile
+        from matplotlib import pyplot as plt
+
+        mel_len = np.asarray(out.mel_len)
+        src_len = np.asarray(out.src_len)
+        for i, basename in enumerate(ids):
+            L, S = int(mel_len[i]), int(src_len[i])
+            mel = np.asarray(out.postnet_mel)[i, :L].T
+            duration = np.asarray(out.duration_rounded)[i, :S]
+            pitch = np.asarray(out.pitch_prediction)[i]
+            energy = np.asarray(out.energy_prediction)[i]
+            if pp["pitch"]["feature"] == "phoneme_level":
+                pitch = expand_by_duration(pitch[:S], duration)
+            else:
+                pitch = pitch[:L]
+            if pp["energy"]["feature"] == "phoneme_level":
+                energy = expand_by_duration(energy[:S], duration)
+            else:
+                energy = energy[:L]
+            fig = plot_mel([(mel, pitch, energy)], stats,
+                           ["Synthesized Spectrogram"])
+            fig.savefig(os.path.join(result_path, f"{basename}.png"))
+            plt.close(fig)
+            if wavs is not None:
+                wavfile.write(
+                    os.path.join(result_path, f"{basename}.wav"),
+                    sampling_rate, wavs[i])

@@ -1,0 +1,135 @@
+"""Vocoder loading and waveform inference.
+
+Mirrors utils/model.py:42-92: config selects HiFi-GAN (vendored weights) or
+MelGAN (torch.hub download — unavailable offline, so we also provide a
+Griffin-Lim fallback); vocoder_infer scales by max_wav_value to int16 and
+trims each waveform to mel_len * hop_length.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+
+_HIFIGAN_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "configs", "hifigan")
+
+
+class HiFiGANVocoder:
+    def __init__(self, params=None, config=None, dtype=jnp.float32):
+        if config is None:
+            config = {}
+        self.generator = HiFiGANGenerator(
+            upsample_rates=tuple(config.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(
+                config.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+            upsample_initial_channel=config.get(
+                "upsample_initial_channel", 512),
+            resblock_kernel_sizes=tuple(
+                config.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in config.get(
+                    "resblock_dilation_sizes",
+                    ((1, 3, 5), (1, 3, 5), (1, 3, 5)))),
+            n_mel_channels=config.get("num_mels", 80),
+            dtype=dtype,
+        )
+        if params is None:
+            # random init (keeps the pipeline runnable without weights)
+            mel = jnp.zeros((1, 8, self.generator.n_mel_channels))
+            params = self.generator.init(jax.random.PRNGKey(0), mel)
+        self.params = params
+        self._apply = jax.jit(self.generator.apply)
+
+    def __call__(self, mels):
+        """[B, T, n_mels] -> [B, T * upsample] float waveform."""
+        return self._apply(self.params, mels)
+
+
+class GriffinLimVocoder:
+    """Weights-free fallback: mel -> linear magnitude (pseudo-inverse of the
+    mel basis, reference audio/tools.py:18-34 spec_from_mel) -> griffin-lim."""
+
+    def __init__(self, preprocess_config, n_iters=30):
+        from fastspeech2_tpu.audio.mel import mel_filterbank
+
+        pp = preprocess_config["preprocessing"]
+        self.n_fft = pp["stft"]["filter_length"]
+        self.hop = pp["stft"]["hop_length"]
+        self.win = pp["stft"]["win_length"]
+        self.n_iters = n_iters
+        basis = mel_filterbank(
+            pp["audio"]["sampling_rate"], self.n_fft,
+            pp["mel"]["n_mel_channels"], pp["mel"]["mel_fmin"],
+            pp["mel"]["mel_fmax"] or pp["audio"]["sampling_rate"] / 2)
+        self.inv_basis = jnp.asarray(np.linalg.pinv(basis))
+
+    def __call__(self, mels):
+        from fastspeech2_tpu.audio.stft import griffin_lim
+
+        mag = jnp.einsum("fm,btm->bft", self.inv_basis, jnp.exp(mels))
+        mag = jnp.maximum(mag, 0.0)
+        wav = griffin_lim(mag, self.n_fft, self.hop, self.win,
+                          n_iters=self.n_iters)
+        # match hop-aligned length T*hop
+        return wav
+
+
+def load_hifigan_config(path=None):
+    if path is None:
+        path = os.path.join(_HIFIGAN_DIR, "config.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def get_vocoder(model_config, preprocess_config, ckpt_path=None):
+    """Build the configured vocoder (utils/model.py:42-71 equivalent).
+
+    ckpt_path may point at a torch HiFi-GAN checkpoint
+    ({"generator": state_dict}) which is converted on the fly.
+    """
+    name = model_config["vocoder"]["model"]
+    if name == "HiFi-GAN":
+        config = load_hifigan_config()
+        params = None
+        if ckpt_path and os.path.exists(ckpt_path):
+            from fastspeech2_tpu.convert.from_torch import (
+                hifigan_params_from_torch,
+            )
+            import torch
+
+            ckpt = torch.load(ckpt_path, map_location="cpu",
+                              weights_only=True)
+            sd = ckpt.get("generator", ckpt)
+            params = jax.tree_util.tree_map(
+                jnp.asarray,
+                hifigan_params_from_torch(
+                    sd, tuple(config["upsample_rates"]),
+                    len(config["resblock_kernel_sizes"])))
+        return HiFiGANVocoder(params, config)
+    if name == "MelGAN":
+        raise NotImplementedError(
+            "MelGAN weights come from torch.hub which needs network access; "
+            "use HiFi-GAN or GriffinLim")
+    return GriffinLimVocoder(preprocess_config)
+
+
+def vocoder_infer(mels, vocoder, preprocess_config, lengths=None):
+    """[B, T, n_mels] -> list of int16 numpy waveforms
+    (utils/model.py:74-92 semantics)."""
+    pp = preprocess_config["preprocessing"]
+    max_wav_value = pp["audio"]["max_wav_value"]
+    hop = pp["stft"]["hop_length"]
+    wavs = np.asarray(vocoder(jnp.asarray(mels)))
+    wavs = np.clip(wavs * max_wav_value, -32768, 32767).astype(np.int16)
+    out = []
+    for i in range(wavs.shape[0]):
+        w = wavs[i]
+        if lengths is not None:
+            w = w[: int(lengths[i]) * hop]
+        out.append(w)
+    return out

@@ -1,0 +1,126 @@
+"""Grapheme-to-phoneme conversion for synthesis input.
+
+English mirrors the reference flow (synthesize.py:32-56): strip trailing
+punctuation, split on punctuation/whitespace, look each word up in the
+lexicon, fall back to G2P for OOVs, map non-word leftovers to {sp}.  The
+reference's OOV fallback is the `g2p_en` neural model; when that package is
+absent we fall back to a deterministic rule-based letter-to-sound converter
+(greedy longest-match over common English grapheme chunks) — crude but
+intelligible, and every lexicon word is unaffected.
+
+Mandarin mirrors synthesize.py:59-84: text -> TONE3 pinyin (via pypinyin if
+installed; otherwise the input must already be tone-numbered pinyin
+tokens) -> lexicon initial/final phones, OOV -> "sp".
+"""
+
+import re
+
+_RULES = [
+    # (grapheme, phones) — longest chunks first within the greedy matcher
+    ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"), ("ough", "AO1"),
+    ("augh", "AE1 F"), ("eigh", "EY1"), ("igh", "AY1"),
+    ("tch", "CH"), ("dge", "JH"), ("sch", "S K"), ("chr", "K R"),
+    ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
+    ("ck", "K"), ("ng", "NG"), ("qu", "K W"), ("gh", "G"), ("kn", "N"),
+    ("wr", "R"), ("mb", "M"), ("ce", "S"), ("ci", "S IH0"), ("cy", "S IY0"),
+    ("ge", "JH"), ("gi", "JH IH0"), ("gy", "JH IY0"),
+    ("oo", "UW1"), ("ee", "IY1"), ("ea", "IY1"), ("ai", "EY1"),
+    ("ay", "EY1"), ("oa", "OW1"), ("ow", "OW1"), ("ou", "AW1"),
+    ("oi", "OY1"), ("oy", "OY1"), ("au", "AO1"), ("aw", "AO1"),
+    ("ar", "AA1 R"), ("er", "ER0"), ("ir", "ER1"), ("or", "AO1 R"),
+    ("ur", "ER1"), ("oe", "OW1"), ("ie", "IY1"), ("ue", "UW1"),
+    ("a", "AE1"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH1"),
+    ("f", "F"), ("g", "G"), ("h", "HH"), ("i", "IH1"), ("j", "JH"),
+    ("k", "K"), ("l", "L"), ("m", "M"), ("n", "N"), ("o", "AA1"),
+    ("p", "P"), ("q", "K"), ("r", "R"), ("s", "S"), ("t", "T"),
+    ("u", "AH1"), ("v", "V"), ("w", "W"), ("x", "K S"), ("y", "Y"),
+    ("z", "Z"),
+]
+_RULES.sort(key=lambda r: -len(r[0]))
+
+try:  # pragma: no cover - optional dependency
+    from g2p_en import G2p as _G2p
+
+    _g2p_model = None
+
+    def _oov_to_phones(word):
+        global _g2p_model
+        if _g2p_model is None:
+            _g2p_model = _G2p()
+        return [p for p in _g2p_model(word) if p != " "]
+
+except ImportError:
+    def _oov_to_phones(word):
+        word = word.lower()
+        phones = []
+        # final silent e
+        if len(word) > 2 and word.endswith("e") and word[-2] not in "aeiou":
+            word = word[:-1]
+        i = 0
+        while i < len(word):
+            for chunk, ph in _RULES:
+                if word.startswith(chunk, i):
+                    phones.extend(ph.split())
+                    i += len(chunk)
+                    break
+            else:
+                i += 1  # drop unknown character
+        return phones
+
+
+def read_lexicon(lex_path):
+    """word -> [phones] (first pronunciation wins; synthesize.py:20-29)."""
+    lexicon = {}
+    with open(lex_path) as f:
+        for line in f:
+            temp = re.split(r"\s+", line.strip("\n"))
+            word, phones = temp[0], temp[1:]
+            if word.lower() not in lexicon:
+                lexicon[word.lower()] = phones
+    return lexicon
+
+
+def english_to_phones(text, lexicon):
+    """Sentence -> phone string '{HH AH0 ...}' with sp for punctuation."""
+    from string import punctuation
+
+    text = text.rstrip(punctuation)
+    phones = []
+    words = re.split(r"([,;.\-\?\!\s+])", text)
+    for w in words:
+        if w.lower() in lexicon:
+            phones += lexicon[w.lower()]
+        elif re.search(r"[A-Za-z0-9]", w):
+            phones += _oov_to_phones(w)
+        elif w.strip():
+            # punctuation token: kept so the {sp} substitution below maps
+            # it to a short pause, as g2p_en's passthrough does upstream
+            phones.append(w.strip())
+    out = "{" + "}{".join(phones) + "}"
+    out = re.sub(r"\{[^\w\s]?\}", "{sp}", out)
+    return out.replace("}{", " ")
+
+
+def mandarin_to_phones(text, lexicon):
+    """Hanzi or tone-numbered pinyin -> phone string."""
+    try:  # pragma: no cover - optional dependency
+        from pypinyin import Style, pinyin
+
+        pinyins = [
+            p[0] for p in pinyin(
+                text, style=Style.TONE3, strict=False,
+                neutral_tone_with_five=True)
+        ]
+    except ImportError:
+        if re.search(r"[一-鿿]", text):
+            raise RuntimeError(
+                "pypinyin is unavailable: pass tone-numbered pinyin "
+                "(e.g. 'ni3 hao3') instead of hanzi")
+        pinyins = text.split()
+    phones = []
+    for p in pinyins:
+        if p in lexicon:
+            phones += lexicon[p]
+        else:
+            phones.append("sp")
+    return "{" + " ".join(phones) + "}"

@@ -1,0 +1,101 @@
+"""Synthesis pipeline tests: G2P, end-to-end text->wav, result files."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from fastspeech2_tpu.models import FastSpeech2
+from fastspeech2_tpu.synthesis import HiFiGANVocoder, Synthesizer
+from fastspeech2_tpu.text.g2p import (
+    english_to_phones,
+    read_lexicon,
+)
+
+from helpers import tiny_config
+
+
+def test_read_lexicon(tmp_path):
+    p = tmp_path / "lex.txt"
+    p.write_text("HELLO  HH AH0 L OW1\nWORLD  W ER1 L D\n"
+                 "HELLO  HH EH0 L OW1\n")
+    lex = read_lexicon(str(p))
+    assert lex["hello"] == ["HH", "AH0", "L", "OW1"]  # first wins
+    assert lex["world"] == ["W", "ER1", "L", "D"]
+
+
+def test_english_to_phones_lexicon_and_punct(tmp_path):
+    lex = {"hello": ["HH", "AH0", "L", "OW1"],
+           "world": ["W", "ER1", "L", "D"]}
+    out = english_to_phones("Hello, world!", lex)
+    assert out.startswith("{")
+    assert "HH AH0 L OW1" in out
+    assert "sp" in out          # comma becomes sp
+    assert "W ER1 L D" in out
+
+
+def test_english_oov_fallback_produces_phones():
+    out = english_to_phones("zorblax", {})
+    inner = out.strip("{}").split()
+    assert len(inner) >= 3
+    from fastspeech2_tpu.text.cmudict import _valid_symbol_set
+    assert all(p in _valid_symbol_set for p in inner)
+
+
+@pytest.fixture(scope="module")
+def synthesizer():
+    cfg = tiny_config()
+    model = FastSpeech2(cfg)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1,), jnp.int32), jnp.ones((1, 8), jnp.int32),
+        jnp.asarray([8]), max_mel_len=16, train=False)
+    vocoder = HiFiGANVocoder(config={
+        "upsample_rates": [4, 4], "upsample_kernel_sizes": [8, 8],
+        "upsample_initial_channel": 32, "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]], "num_mels": cfg.n_mel_channels})
+    preprocess_config = {
+        "path": {"preprocessed_path": "/nonexistent",
+                 "lexicon_path": "/nonexistent"},
+        "preprocessing": {
+            "text": {"text_cleaners": ["english_cleaners"],
+                     "language": "en"},
+            "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
+            "stft": {"hop_length": 16},
+            "pitch": {"feature": "phoneme_level"},
+            "energy": {"feature": "phoneme_level"},
+            "mel": {"n_mel_channels": cfg.n_mel_channels},
+        },
+    }
+    return Synthesizer(model, variables, cfg, preprocess_config,
+                       vocoder=vocoder, max_mel_len=64)
+
+
+def test_text_to_wav(synthesizer):
+    wavs, out = synthesizer.synthesize(["hello world"])
+    assert wavs is not None and len(wavs) == 1
+    mel_len = int(np.asarray(out.mel_len)[0])
+    assert mel_len > 0
+    # trimmed to mel_len * hop (hop=16 in this tiny setup via vocoder 4*4)
+    assert len(wavs[0]) == mel_len * 16
+    assert wavs[0].dtype == np.int16
+
+
+def test_duration_control_scales_length(synthesizer):
+    _, base = synthesizer.synthesize(["hello world hello world"])
+    _, slow = synthesizer.synthesize(["hello world hello world"],
+                                     d_control=2.0)
+    assert int(np.asarray(slow.mel_len)[0]) > int(
+        np.asarray(base.mel_len)[0])
+
+
+def test_save_results(synthesizer, tmp_path):
+    wavs, out = synthesizer.synthesize(["hello"])
+    synthesizer.save_results(["demo"], out, wavs, str(tmp_path))
+    assert os.path.exists(tmp_path / "demo.wav")
+    assert os.path.exists(tmp_path / "demo.png")
