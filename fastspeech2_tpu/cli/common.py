@@ -1,0 +1,71 @@
+"""Shared CLI plumbing: config loading and model restoration."""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from fastspeech2_tpu.configs.config import load_yaml_configs
+
+
+def add_config_args(parser):
+    parser.add_argument("-p", "--preprocess_config", type=str, required=True,
+                        help="path to preprocess.yaml")
+    parser.add_argument("-m", "--model_config", type=str, required=True,
+                        help="path to model.yaml")
+    parser.add_argument("-t", "--train_config", type=str, required=True,
+                        help="path to train.yaml")
+
+
+def read_configs(args):
+    return load_yaml_configs(
+        args.preprocess_config, args.model_config, args.train_config)
+
+
+def dtype_from_flag(name):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def load_model_for_inference(configs, restore_step=0, torch_ckpt=None,
+                             dtype=jnp.float32):
+    """Build FastSpeech2 + variables from an orbax checkpoint (ours) or a
+    torch .pth.tar (reference format, converted on the fly)."""
+    from fastspeech2_tpu.configs.config import FastSpeech2Config
+    from fastspeech2_tpu.models import FastSpeech2
+
+    preprocess_config, model_config, train_config = configs
+    cfg = FastSpeech2Config.build(preprocess_config, model_config)
+    model = FastSpeech2(cfg, dtype=dtype)
+
+    if torch_ckpt:
+        import torch
+
+        from fastspeech2_tpu.convert.from_torch import (
+            fastspeech2_variables_from_torch,
+        )
+
+        ckpt = torch.load(torch_ckpt, map_location="cpu", weights_only=True)
+        sd = ckpt.get("model", ckpt)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, fastspeech2_variables_from_torch(sd, cfg))
+        return model, variables, cfg
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1,), jnp.int32), jnp.ones((1, 8), jnp.int32),
+        jnp.asarray([8]), max_mel_len=16, train=False)
+    if restore_step:
+        from fastspeech2_tpu.training.checkpoint import restore_checkpoint
+        from fastspeech2_tpu.training.optim import make_optimizer
+        from fastspeech2_tpu.configs.config import OptimConfig
+        from fastspeech2_tpu.training.train_state import TrainState
+
+        optimizer, _ = make_optimizer(
+            OptimConfig.build(train_config), cfg.encoder_hidden)
+        state = TrainState.create(variables, optimizer, step=restore_step)
+        state = restore_checkpoint(
+            train_config["path"]["ckpt_path"], state, restore_step)
+        variables = state.variables()
+    return model, variables, cfg

@@ -1,0 +1,104 @@
+"""`python synthesize.py` — single/batch synthesis CLI
+(reference synthesize.py:111-214 flags + --torch_ckpt for .pth.tar)."""
+
+import argparse
+
+import numpy as np
+
+from fastspeech2_tpu.cli.common import (
+    add_config_args,
+    dtype_from_flag,
+    load_model_for_inference,
+    read_configs,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--mode", choices=["batch", "single"], required=True)
+    parser.add_argument("--source", type=str, default=None,
+                        help="batch mode: metadata file of sentences")
+    parser.add_argument("--text", type=str, default=None,
+                        help="single mode: raw text to synthesize")
+    parser.add_argument("--speaker_id", type=int, default=0)
+    add_config_args(parser)
+    parser.add_argument("--pitch_control", type=float, default=1.0)
+    parser.add_argument("--energy_control", type=float, default=1.0)
+    parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--torch_ckpt", type=str, default=None,
+                        help="reference-format .pth.tar checkpoint")
+    parser.add_argument("--vocoder_ckpt", type=str, default=None,
+                        help="torch HiFi-GAN generator checkpoint")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32")
+    args = parser.parse_args(argv)
+
+    if args.mode == "batch":
+        assert args.source is not None and args.text is None
+    if args.mode == "single":
+        assert args.source is None and args.text is not None
+
+    configs = read_configs(args)
+    preprocess_config, model_config, train_config = configs
+    model, variables, cfg = load_model_for_inference(
+        configs, args.restore_step, args.torch_ckpt,
+        dtype_from_flag(args.dtype))
+
+    from fastspeech2_tpu.synthesis import Synthesizer, get_vocoder
+
+    vocoder = get_vocoder(model_config, preprocess_config,
+                          args.vocoder_ckpt)
+    synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
+                              vocoder=vocoder)
+    result_path = train_config["path"]["result_path"]
+
+    if args.mode == "single":
+        ids = [args.text[:100]]
+        ids_seq, phones = synthesizer.text_to_ids(args.text)
+        print("Raw Text Sequence: {}".format(args.text))
+        print("Phoneme Sequence: {}".format(phones))
+        out = synthesizer.infer_ids(
+            [ids_seq], np.array([args.speaker_id]),
+            args.pitch_control, args.energy_control, args.duration_control)
+        from fastspeech2_tpu.synthesis import vocoder_infer
+
+        wavs = vocoder_infer(out.postnet_mel, vocoder, preprocess_config,
+                             lengths=np.asarray(out.mel_len))
+        synthesizer.save_results(ids, out, wavs, result_path)
+    else:
+        from fastspeech2_tpu.data.dataset import FeatureDataset
+
+        names, speakers, texts, raws = FeatureDataset._read_metadata(
+            args.source)
+        import json
+        import os
+
+        speakers_path = os.path.join(
+            preprocess_config["path"]["preprocessed_path"], "speakers.json")
+        speaker_map = (json.load(open(speakers_path))
+                       if os.path.exists(speakers_path) else {})
+        cleaners = preprocess_config["preprocessing"]["text"][
+            "text_cleaners"]
+        from fastspeech2_tpu.text import text_to_sequence
+
+        for start in range(0, len(names), 8):  # batch_size=8 as upstream
+            chunk = slice(start, start + 8)
+            id_seqs = [np.asarray(text_to_sequence(t, cleaners), np.int32)
+                       for t in texts[chunk]]
+            spk = np.asarray(
+                [speaker_map.get(s, 0) for s in speakers[chunk]], np.int32)
+            out = synthesizer.infer_ids(
+                id_seqs, spk, args.pitch_control, args.energy_control,
+                args.duration_control)
+            from fastspeech2_tpu.synthesis import vocoder_infer
+
+            wavs = vocoder_infer(
+                out.postnet_mel, vocoder, preprocess_config,
+                lengths=np.asarray(out.mel_len))
+            synthesizer.save_results(names[chunk], out, wavs, result_path)
+    print(f"Results written to {result_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""`python train.py` — training CLI (reference train.py:172-198 flags)."""
+
+import argparse
+
+from fastspeech2_tpu.cli.common import (
+    add_config_args,
+    dtype_from_flag,
+    read_configs,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--restore_step", type=int, default=0)
+    add_config_args(parser)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="stop early after this many steps")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="bfloat16",
+                        help="compute dtype (params stay float32)")
+    args = parser.parse_args(argv)
+
+    configs = read_configs(args)
+    from fastspeech2_tpu.training.loop import train
+
+    train(*configs, restore_step=args.restore_step,
+          dtype=dtype_from_flag(args.dtype), max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

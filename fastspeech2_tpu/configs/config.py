@@ -149,6 +149,10 @@ class OptimConfig:
     anneal_steps: Sequence[int] = (300000, 400000, 500000)
     anneal_rate: float = 0.3
 
+    @staticmethod
+    def build_batch_size(train_config):
+        return int(train_config["optimizer"]["batch_size"])
+
     @classmethod
     def build(cls, train_config):
         o = train_config["optimizer"]

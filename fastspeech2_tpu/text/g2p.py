@@ -117,10 +117,18 @@ def mandarin_to_phones(text, lexicon):
                 "pypinyin is unavailable: pass tone-numbered pinyin "
                 "(e.g. 'ni3 hao3') instead of hanzi")
         pinyins = text.split()
+    from fastspeech2_tpu.text.pinyin_g2p import split_pinyin
+
     phones = []
     for p in pinyins:
         if p in lexicon:
             phones += lexicon[p]
         else:
-            phones.append("sp")
+            # algorithmic decomposition (verified identical to the
+            # reference pinyin lexicon), OOV -> sp as upstream
+            decomposed = split_pinyin(p)
+            if decomposed:
+                phones += decomposed
+            else:
+                phones.append("sp")
     return "{" + " ".join(phones) + "}"

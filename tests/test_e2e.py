@@ -1,0 +1,133 @@
+"""End-to-end integration: synthetic corpus -> train via the CLI loop ->
+evaluate -> synthesize, exercising the same paths the command-line tools
+use (SURVEY.md section 4 integration strategy)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from fastspeech2_tpu.data import generate_corpus, synthetic_preprocess_config
+
+
+def _tiny_model_config():
+    return {
+        "transformer": {
+            "encoder_layer": 1, "encoder_head": 2, "encoder_hidden": 16,
+            "decoder_layer": 1, "decoder_head": 2, "decoder_hidden": 16,
+            "conv_filter_size": 32, "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        },
+        "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear",
+                               "n_bins": 16},
+        "multi_speaker": False,
+        "max_seq_len": 256,
+        "vocoder": {"model": "none", "speaker": "LJSpeech"},
+    }
+
+
+def _train_config(root):
+    return {
+        "path": {
+            "ckpt_path": os.path.join(root, "ckpt"),
+            "log_path": os.path.join(root, "log"),
+            "result_path": os.path.join(root, "result"),
+        },
+        "optimizer": {
+            "batch_size": 4, "betas": [0.9, 0.98], "eps": 1.0e-9,
+            "weight_decay": 0.0, "grad_clip_thresh": 1.0,
+            "grad_acc_step": 1, "warm_up_step": 10,
+            "anneal_steps": [], "anneal_rate": 1.0,
+        },
+        "step": {
+            "total_step": 12, "log_step": 4, "synth_step": 1000,
+            "val_step": 6, "save_step": 12,
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    corpus = os.path.join(root, "corpus")
+    generate_corpus(corpus, n_utterances=24, n_speakers=1, seed=3,
+                    val_size=4, n_mels=8)
+    pre = synthetic_preprocess_config(corpus, n_mels=8)
+    model = _tiny_model_config()
+    train = _train_config(root)
+    paths = {}
+    for name, cfg in [("preprocess", pre), ("model", model),
+                      ("train", train)]:
+        p = os.path.join(root, f"{name}.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(cfg, f)
+        paths[name] = p
+    return root, paths, (pre, model, train)
+
+
+def test_training_loop_runs_and_checkpoints(workspace):
+    root, paths, (pre, model_cfg, train_cfg) = workspace
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.training.loop import train
+
+    state = train(pre, model_cfg, train_cfg, dtype=jnp.float32,
+                  log=lambda *_: None)
+    assert int(state.step) == 12
+    assert os.path.isdir(os.path.join(root, "ckpt", "12"))
+    log_txt = os.path.join(root, "log", "train", "log.txt")
+    assert os.path.exists(log_txt)
+    content = open(log_txt).read()
+    assert "Step 12/12" in content
+    assert "Total Loss" in content
+
+
+def test_evaluate_cli(workspace):
+    root, paths, _ = workspace
+    from fastspeech2_tpu.cli.evaluate_cli import main
+
+    losses = main([
+        "-p", paths["preprocess"], "-m", paths["model"],
+        "-t", paths["train"], "--restore_step", "12",
+    ])
+    assert len(losses) == 6
+    assert all(np.isfinite(v) for v in losses)
+
+
+def test_synthesize_cli_single(workspace):
+    root, paths, _ = workspace
+    from fastspeech2_tpu.cli.synthesize_cli import main
+
+    main([
+        "--mode", "single", "--text", "hello world",
+        "-p", paths["preprocess"], "-m", paths["model"],
+        "-t", paths["train"], "--restore_step", "12",
+        "--duration_control", "1.2",
+    ])
+    result = os.path.join(root, "result")
+    files = os.listdir(result)
+    assert any(f.endswith(".png") for f in files)
+    assert any(f.endswith(".wav") for f in files)
+
+
+def test_synthesize_cli_batch(workspace):
+    root, paths, (pre, _, _) = workspace
+    src = os.path.join(root, "source.txt")
+    with open(src, "w") as f:
+        f.write("demo1|spk0|{HH AH0 L OW1}|hello\n"
+                "demo2|spk0|{W ER1 L D}|world\n")
+    from fastspeech2_tpu.cli.synthesize_cli import main
+
+    main([
+        "--mode", "batch", "--source", src,
+        "-p", paths["preprocess"], "-m", paths["model"],
+        "-t", paths["train"], "--restore_step", "12",
+    ])
+    result = os.path.join(root, "result")
+    assert os.path.exists(os.path.join(result, "demo1.wav"))
+    assert os.path.exists(os.path.join(result, "demo2.png"))
