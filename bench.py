@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Benchmark harness: end-to-end text->wav RTF and mel throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": {...}}
+
+Primary metric: end-to-end real-time factor (text -> mel -> HiFi-GAN wav)
+for a batch of 32 LJSpeech-config utterances at the static generation
+length on one chip.  BASELINE.md target: RTF < 0.01 on one v5e chip;
+vs_baseline = target_rtf / measured_rtf (>1 = beats the target).
+
+Timing methodology (this environment tunnels the TPU through a relay):
+async dispatch acknowledgements are unreliable, so each timed call returns
+a data-dependent scalar that is fetched to host (forces real execution),
+and the relay's fixed round-trip latency — measured with a trivial op — is
+subtracted to isolate device compute time.  Both raw and corrected numbers
+are reported.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _realistic_texts(batch, max_phones):
+    """Phone-ID sequences from the reference val metadata when available,
+    else synthetic ARPAbet."""
+    path = "/root/reference/preprocessed_data/LJSpeech/val.txt"
+    seqs = []
+    if os.path.exists(path):
+        from fastspeech2_tpu.text import text_to_sequence
+
+        with open(path) as f:
+            for line in f:
+                phones = line.rstrip("\n").split("|")[2]
+                seqs.append(np.asarray(
+                    text_to_sequence(phones, ["english_cleaners"]),
+                    np.int32))
+                if len(seqs) >= batch * 4:
+                    break
+    if not seqs:
+        rng = np.random.RandomState(0)
+        seqs = [rng.randint(64, 148, size=rng.randint(60, max_phones))
+                .astype(np.int32) for _ in range(batch * 4)]
+    return seqs
+
+
+def _pack(seqs, batch, max_phones, offset=0):
+    texts = np.zeros((batch, max_phones), np.int32)
+    lens = np.zeros(batch, np.int32)
+    for b in range(batch):
+        s = seqs[(offset + b) % len(seqs)][:max_phones]
+        texts[b, : len(s)] = s
+        lens[b] = len(s)
+    return texts, lens
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--frames", type=int, default=896,
+                        help="static mel frames per utterance")
+    parser.add_argument("--phones", type=int, default=160)
+    parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument("--skip_train", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.configs.config import FastSpeech2Config, OptimConfig
+    from fastspeech2_tpu.models import FastSpeech2
+    from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+
+    B, T, P = args.batch, args.frames, args.phones
+    hop, sr = 256, 22050
+
+    cfg = FastSpeech2Config(
+        pitch_min=-2.917, pitch_max=11.391,
+        energy_min=-1.431, energy_max=8.184,
+    )
+    acoustic = FastSpeech2(cfg, dtype=jnp.bfloat16)
+    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    seqs = _realistic_texts(B, P)
+    packs = [_pack(seqs, B, P, offset=i * B) for i in range(4)]
+    speakers = jnp.zeros((B,), jnp.int32)
+
+    variables = acoustic.init(
+        {"params": rng, "dropout": rng},
+        speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
+        max_mel_len=T, train=False)
+    voc_params = vocoder.init(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
+
+    @jax.jit
+    def floor_op(x):
+        return jnp.sum(x)
+
+    @jax.jit
+    def e2e_sum(variables, voc_params, speakers, texts, src_lens):
+        out = acoustic.apply(variables, speakers, texts, src_lens,
+                             max_mel_len=T, train=False)
+        wav = vocoder.apply(voc_params, out.postnet_mel)
+        return (jnp.sum(wav.astype(jnp.float32))
+                + jnp.sum(out.mel_len).astype(jnp.float32))
+
+    @jax.jit
+    def mel_sum(variables, speakers, texts, src_lens):
+        out = acoustic.apply(variables, speakers, texts, src_lens,
+                             max_mel_len=T, train=False)
+        return jnp.sum(out.postnet_mel.astype(jnp.float32))
+
+    def timed(fn, arg_packs, trials):
+        float(fn(*arg_packs[0]))  # compile + warm
+        best = float("inf")
+        for i in range(trials):
+            a = arg_packs[(i + 1) % len(arg_packs)]
+            t0 = time.time()
+            float(fn(*a))
+            best = min(best, time.time() - t0)
+        return best
+
+    floor_s = timed(
+        floor_op,
+        [(jnp.asarray(np.random.randn(64, 64), jnp.float32) + i,)
+         for i in range(4)],
+        args.trials)
+
+    e2e_packs = [(variables, voc_params, speakers, jnp.asarray(t),
+                  jnp.asarray(l)) for t, l in packs]
+    mel_packs = [(variables, speakers, jnp.asarray(t), jnp.asarray(l))
+                 for t, l in packs]
+
+    e2e_raw = timed(e2e_sum, e2e_packs, args.trials)
+    mel_raw = timed(mel_sum, mel_packs, args.trials)
+
+    e2e_s = max(e2e_raw - floor_s, 1e-6)
+    mel_s = max(mel_raw - floor_s, 1e-6)
+
+    audio_seconds = B * T * hop / sr
+    rtf = e2e_s / audio_seconds
+    mel_fps = B * T / mel_s
+
+    result = {
+        "metric": "rtf_text_to_wav_b32_1chip",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(0.01 / rtf, 2),
+        "extras": {
+            "e2e_ms_per_batch": round(e2e_s * 1000, 2),
+            "e2e_ms_raw_incl_relay_latency": round(e2e_raw * 1000, 2),
+            "relay_floor_ms": round(floor_s * 1000, 2),
+            "acoustic_ms_per_batch": round(mel_s * 1000, 2),
+            "acoustic_mel_frames_per_sec_per_chip": round(mel_fps),
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "batch": B,
+            "static_frames": T,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+    if not args.skip_train:
+        from fastspeech2_tpu.training import (
+            TrainState,
+            make_optimizer,
+            make_train_step,
+        )
+
+        optimizer, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
+        tb, tp_, tt = 16, 160, 896
+
+        def train_batch(seed):
+            r = np.random.RandomState(seed)
+            d = r.randint(3, 9, size=(tb, tp_)).astype(np.int32)
+            scale = np.minimum(tt / d.sum(1, keepdims=True), 1.0)
+            d = np.maximum((d * scale).astype(np.int32), 1)
+            return {
+                "speakers": np.zeros(tb, np.int32),
+                "texts": r.randint(1, 360, size=(tb, tp_)).astype(np.int32),
+                "src_lens": np.full(tb, tp_, np.int32),
+                "mels": r.randn(tb, tt, 80).astype(np.float32),
+                "mel_lens": d.sum(1).astype(np.int32),
+                "pitches": r.randn(tb, tp_).astype(np.float32),
+                "energies": r.randn(tb, tp_).astype(np.float32),
+                "durations": d,
+            }
+
+        tbatches = [
+            {k: jnp.asarray(v) for k, v in train_batch(s).items()}
+            for s in range(4)
+        ]
+        tvars = acoustic.init(
+            {"params": rng, "dropout": rng},
+            tbatches[0]["speakers"], tbatches[0]["texts"],
+            tbatches[0]["src_lens"], mels=tbatches[0]["mels"],
+            mel_lens=tbatches[0]["mel_lens"], max_mel_len=tt,
+            p_targets=tbatches[0]["pitches"],
+            e_targets=tbatches[0]["energies"],
+            d_targets=tbatches[0]["durations"], train=True)
+        state = TrainState.create(tvars, optimizer)
+        raw_step = make_train_step(acoustic, cfg, optimizer)
+
+        @jax.jit
+        def step_sum(state, batch, rng):
+            new_state, losses = raw_step(state, batch, rng)
+            return new_state, losses.total
+
+        state, total = step_sum(state, tbatches[0], rng)
+        float(total)  # compile + warm
+        best = float("inf")
+        for i in range(args.trials):
+            t0 = time.time()
+            state, total = step_sum(state, tbatches[(i + 1) % 4], rng)
+            float(total)
+            best = min(best, time.time() - t0)
+        step_s = max(best - floor_s, 1e-6)
+        result["extras"]["train_step_ms_b16"] = round(step_s * 1000, 2)
+        result["extras"]["train_mel_frames_per_sec_per_chip"] = round(
+            tb * tt / step_s)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
