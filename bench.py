@@ -90,11 +90,11 @@ def main():
     packs = [_pack(seqs, B, P, offset=i * B) for i in range(4)]
     speakers = jnp.zeros((B,), jnp.int32)
 
-    variables = acoustic.init(
+    variables = jax.jit(acoustic.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
         max_mel_len=T, train=False)
-    voc_params = vocoder.init(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
+    voc_params = jax.jit(vocoder.init)(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
 
     @jax.jit
     def floor_op(x):
@@ -171,7 +171,9 @@ def main():
         )
 
         optimizer, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
-        tb, tp_, tt = 16, 160, 896
+        # moderate shapes keep the fwd+bwd remote compile under ~2 min;
+        # throughput extrapolates linearly in frames (static-shape compute)
+        tb, tp_, tt = 16, 128, 512
 
         def train_batch(seed):
             r = np.random.RandomState(seed)
@@ -193,7 +195,7 @@ def main():
             {k: jnp.asarray(v) for k, v in train_batch(s).items()}
             for s in range(4)
         ]
-        tvars = acoustic.init(
+        tvars = jax.jit(acoustic.init, static_argnames=("max_mel_len", "train"))(
             {"params": rng, "dropout": rng},
             tbatches[0]["speakers"], tbatches[0]["texts"],
             tbatches[0]["src_lens"], mels=tbatches[0]["mels"],
@@ -207,7 +209,11 @@ def main():
         @jax.jit
         def step_sum(state, batch, rng):
             new_state, losses = raw_step(state, batch, rng)
-            return new_state, losses.total
+            # the fetched scalar must depend on the UPDATED params so the
+            # readback fences the whole step, not just the forward pass
+            probe = jnp.sum(
+                new_state.params["mel_linear"]["Dense_0"]["bias"])
+            return new_state, losses.total + probe * 1e-9
 
         state, total = step_sum(state, tbatches[0], rng)
         float(total)  # compile + warm

@@ -52,7 +52,7 @@ def load_model_for_inference(configs, restore_step=0, torch_ckpt=None,
         return model, variables, cfg
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         jnp.zeros((1,), jnp.int32), jnp.ones((1, 8), jnp.int32),
         jnp.asarray([8]), max_mel_len=16, train=False)

@@ -182,6 +182,44 @@ def _wn_conv_transpose1d(sd, prefix):
     return out
 
 
+def melgan_params_from_torch(state_dict, n_stages=4, n_residual_layers=3):
+    """descriptinc/melgan-neurips Generator state_dict -> flax params.
+
+    The torch model is one nn.Sequential ("model.<idx>...") laid out as:
+    pad, conv_pre, then per stage [leaky_relu, conv_transpose,
+    n_residual x ResnetBlock], then leaky_relu, pad, conv_post, tanh.
+    """
+    sd = {k.split("mel2wav.")[-1]: v for k, v in state_dict.items()}
+
+    def conv(prefix):
+        if prefix + ".weight_g" in sd:
+            return _wn_conv1d(sd, prefix)
+        return conv1d(sd, prefix)
+
+    def convT(prefix):
+        if prefix + ".weight_g" in sd:
+            return _wn_conv_transpose1d(sd, prefix)
+        return conv_transpose1d(sd, prefix)
+
+    params = {"conv_pre": conv("model.1")}
+    idx = 2
+    for i in range(n_stages):
+        idx += 1  # leaky relu
+        params[f"up_{i}"] = convT(f"model.{idx}")
+        idx += 1
+        for j in range(n_residual_layers):
+            base = f"model.{idx}"
+            params[f"res_{i}_{j}"] = {
+                "conv_dilated": conv(base + ".block.2"),
+                "conv_1x1": conv(base + ".block.4"),
+                "shortcut": conv(base + ".shortcut"),
+            }
+            idx += 1
+    idx += 2  # leaky relu + reflection pad
+    params["conv_post"] = conv(f"model.{idx}")
+    return {"params": params}
+
+
 def hifigan_params_from_torch(state_dict, upsample_rates=(8, 8, 2, 2),
                               n_resblock_kernels=3):
     """Reference HiFi-GAN Generator state_dict -> flax params.

@@ -41,13 +41,45 @@ class HiFiGANVocoder:
         if params is None:
             # random init (keeps the pipeline runnable without weights)
             mel = jnp.zeros((1, 8, self.generator.n_mel_channels))
-            params = self.generator.init(jax.random.PRNGKey(0), mel)
+            params = jax.jit(self.generator.init)(jax.random.PRNGKey(0), mel)
         self.params = params
         self._apply = jax.jit(self.generator.apply)
 
     def __call__(self, mels):
         """[B, T, n_mels] -> [B, T * upsample] float waveform."""
         return self._apply(self.params, mels)
+
+
+class MelGANVocoder:
+    """MelGAN generator (utils/model.py:46-56 alternative).  The reference
+    feeds it log10 mels, dividing the log-e mel by ln(10)
+    (utils/model.py:78) — applied here before the network."""
+
+    def __init__(self, params=None, ckpt_path=None, dtype=jnp.float32):
+        from fastspeech2_tpu.models.melgan import MelGANGenerator
+
+        self.generator = MelGANGenerator(dtype=dtype)
+        if params is None and ckpt_path and os.path.exists(ckpt_path):
+            from fastspeech2_tpu.convert.from_torch import (
+                melgan_params_from_torch,
+            )
+            import torch
+
+            sd = torch.load(ckpt_path, map_location="cpu",
+                            weights_only=True)
+            if isinstance(sd, dict) and "model_g" in sd:
+                sd = sd["model_g"]
+            params = jax.tree_util.tree_map(
+                jnp.asarray, melgan_params_from_torch(sd))
+        if params is None:
+            mel = jnp.zeros((1, 8, self.generator.n_mel_channels))
+            params = jax.jit(self.generator.init)(jax.random.PRNGKey(0),
+                                                  mel)
+        self.params = params
+        self._apply = jax.jit(self.generator.apply)
+
+    def __call__(self, mels):
+        return self._apply(self.params, mels / jnp.log(10.0))
 
 
 class GriffinLimVocoder:
@@ -112,9 +144,7 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
                     len(config["resblock_kernel_sizes"])))
         return HiFiGANVocoder(params, config)
     if name == "MelGAN":
-        raise NotImplementedError(
-            "MelGAN weights come from torch.hub which needs network access; "
-            "use HiFi-GAN or GriffinLim")
+        return MelGANVocoder(ckpt_path=ckpt_path)
     return GriffinLimVocoder(preprocess_config)
 
 

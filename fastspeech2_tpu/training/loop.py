@@ -48,7 +48,7 @@ def init_training(preprocess_config, model_config, train_config,
 
     rng = jax.random.PRNGKey(seed)
     B, Pn, T = 2, 16, 64
-    variables = model.init(
+    variables = jax.jit(model.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         jnp.zeros((B,), jnp.int32),
         jnp.ones((B, Pn), jnp.int32),
@@ -79,8 +79,72 @@ def init_training(preprocess_config, model_config, train_config,
     return model, cfg, optim_cfg, state, optimizer, mesh
 
 
+def synth_one_sample(model, cfg, state, batch, preprocess_config,
+                     vocoder=None):
+    """First-sample synthesis artifacts for TensorBoard
+    (reference utils/tools.py:109-161): a (predicted, ground-truth) mel
+    figure and, when a vocoder is available, reconstructed + predicted
+    wavs."""
+    import json
+
+    from fastspeech2_tpu.synthesis.plotting import (
+        expand_by_duration,
+        plot_mel,
+    )
+
+    out = jax.jit(model.apply, static_argnames=("max_mel_len", "train"))(
+        state.variables(),
+        jnp.asarray(batch["speakers"][:1]), jnp.asarray(batch["texts"][:1]),
+        jnp.asarray(batch["src_lens"][:1]),
+        mel_lens=jnp.asarray(batch["mel_lens"][:1]),
+        max_mel_len=batch["mels"].shape[1],
+        p_targets=jnp.asarray(batch["pitches"][:1]),
+        e_targets=jnp.asarray(batch["energies"][:1]),
+        d_targets=jnp.asarray(batch["durations"][:1]),
+        train=False)
+    mel_len = int(np.asarray(out.mel_len)[0])
+    src_len = int(batch["src_lens"][0])
+    mel_pred = np.asarray(out.postnet_mel)[0, :mel_len].T
+    mel_target = batch["mels"][0, :mel_len].T
+    duration = batch["durations"][0, :src_len]
+    pp = preprocess_config["preprocessing"]
+    pitch = batch["pitches"][0]
+    energy = batch["energies"][0]
+    if pp["pitch"]["feature"] == "phoneme_level":
+        pitch = expand_by_duration(pitch[:src_len], duration)
+    else:
+        pitch = pitch[:mel_len]
+    if pp["energy"]["feature"] == "phoneme_level":
+        energy = expand_by_duration(energy[:src_len], duration)
+    else:
+        energy = energy[:mel_len]
+    stats_path = os.path.join(
+        preprocess_config["path"]["preprocessed_path"], "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+        stats = stats["pitch"] + stats["energy"][:2]
+    else:
+        stats = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    fig = plot_mel(
+        [(mel_pred, pitch, energy), (mel_target, pitch, energy)],
+        stats, ["Synthesized Spectrogram", "Ground-Truth Spectrogram"])
+
+    wav_reconstruction = wav_prediction = None
+    if vocoder is not None:
+        from fastspeech2_tpu.synthesis.vocoder import vocoder_infer
+
+        wav_reconstruction = vocoder_infer(
+            batch["mels"][:1], vocoder, preprocess_config,
+            lengths=[mel_len])[0]
+        wav_prediction = vocoder_infer(
+            np.asarray(out.postnet_mel[:1], np.float32), vocoder,
+            preprocess_config, lengths=[mel_len])[0]
+    return fig, wav_reconstruction, wav_prediction
+
+
 def train(preprocess_config, model_config, train_config, restore_step=0,
-          dtype=jnp.float32, max_steps=None, log=print):
+          dtype=jnp.float32, max_steps=None, log=print, vocoder=None):
     """The reference main() loop (train.py:21-169)."""
     steps = StepConfig.build(train_config)
     optim_cfg = OptimConfig.build(train_config)
@@ -135,6 +199,30 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 log(msg1 + ", " + msg2 + f" ({time.time() - t0:.1f}s)")
                 logger.message(msg1 + ", " + msg2)
                 logger.scalars(step, vals)
+
+            if step % steps.synth_step == 0:
+                try:
+                    fig, wav_rec, wav_pred = synth_one_sample(
+                        model, cfg, state, batch, preprocess_config,
+                        vocoder)
+                    logger.figure(
+                        f"Training/step_{step}_{batch['ids'][0]}", fig)
+                    sr = preprocess_config["preprocessing"]["audio"][
+                        "sampling_rate"]
+                    if wav_rec is not None:
+                        logger.audio(
+                            f"Training/step_{step}_"
+                            f"{batch['ids'][0]}_reconstructed",
+                            wav_rec.astype(np.float32), sr)
+                        logger.audio(
+                            f"Training/step_{step}_"
+                            f"{batch['ids'][0]}_synthesized",
+                            wav_pred.astype(np.float32), sr)
+                    import matplotlib.pyplot as plt
+
+                    plt.close(fig)
+                except Exception as e:  # non-fatal duty
+                    log(f"synth_step failed: {e}")
 
             if step % steps.val_step == 0:
                 val_losses = evaluate(
