@@ -75,6 +75,7 @@ class FastSpeech2(nn.Module):
             kernel_size=cfg.conv_kernel_size,
             dropout=cfg.encoder_dropout,
             dtype=self.dtype,
+            attention_backend=cfg.attention_backend,
             name="encoder",
         )(texts, src_pad_mask, deterministic=deterministic)
 
@@ -117,6 +118,7 @@ class FastSpeech2(nn.Module):
             dropout=cfg.decoder_dropout,
             max_seq_len=cfg.max_seq_len,
             dtype=self.dtype,
+            attention_backend=cfg.attention_backend,
             name="decoder",
         )(x, mel_pad_mask, deterministic=deterministic)
 

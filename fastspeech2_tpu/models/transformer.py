@@ -36,6 +36,7 @@ class MultiHeadSelfAttention(nn.Module):
     d_model: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_pad_mask, deterministic=True):
@@ -48,7 +49,14 @@ class MultiHeadSelfAttention(nn.Module):
             return y.reshape(b, l, self.n_head, d_head).transpose(0, 2, 1, 3)
 
         q, k, v = proj("w_qs"), proj("w_ks"), proj("w_vs")
-        out = multi_head_attention(q, k, v, key_pad_mask, dtype=self.dtype)
+        if self.attention_backend == "xla":
+            out = multi_head_attention(q, k, v, key_pad_mask,
+                                       dtype=self.dtype)
+        else:
+            from fastspeech2_tpu.ops.pallas_attention import attention_op
+
+            out = attention_op(q, k, v, key_pad_mask,
+                               backend=self.attention_backend)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, self.n_head * d_head)
         out = TorchDense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -87,12 +95,13 @@ class FFTBlock(nn.Module):
     kernel_size: Tuple[int, int]
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic=True):
         x = MultiHeadSelfAttention(
             self.n_head, self.d_model, self.dropout, dtype=self.dtype,
-            name="slf_attn",
+            attention_backend=self.attention_backend, name="slf_attn",
         )(x, pad_mask, deterministic=deterministic)
         x = fill_masked(x, pad_mask)
         x = ConvFeedForward(
@@ -114,6 +123,7 @@ class Encoder(nn.Module):
     kernel_size: Tuple[int, int]
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, src_seq, src_pad_mask, deterministic=True):
@@ -131,7 +141,8 @@ class Encoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
-                self.dropout, dtype=self.dtype, name=f"layer_{i}",
+                self.dropout, dtype=self.dtype,
+                attention_backend=self.attention_backend, name=f"layer_{i}",
             )(x, src_pad_mask, deterministic=deterministic)
         return x
 
@@ -149,6 +160,7 @@ class Decoder(nn.Module):
     dropout: float
     max_seq_len: int = 1000
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, mel_pad_mask, deterministic=True,
@@ -163,6 +175,7 @@ class Decoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
-                self.dropout, dtype=self.dtype, name=f"layer_{i}",
+                self.dropout, dtype=self.dtype,
+                attention_backend=self.attention_backend, name=f"layer_{i}",
             )(x, mel_pad_mask, deterministic=deterministic)
         return x, mel_pad_mask
