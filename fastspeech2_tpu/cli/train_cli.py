@@ -18,13 +18,16 @@ def main(argv=None):
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="bfloat16",
                         help="compute dtype (params stay float32)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of steps 11-20")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
     from fastspeech2_tpu.training.loop import train
 
     train(*configs, restore_step=args.restore_step,
-          dtype=dtype_from_flag(args.dtype), max_steps=args.max_steps)
+          dtype=dtype_from_flag(args.dtype), max_steps=args.max_steps,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

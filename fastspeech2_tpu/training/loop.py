@@ -144,8 +144,14 @@ def synth_one_sample(model, cfg, state, batch, preprocess_config,
 
 
 def train(preprocess_config, model_config, train_config, restore_step=0,
-          dtype=jnp.float32, max_steps=None, log=print, vocoder=None):
-    """The reference main() loop (train.py:21-169)."""
+          dtype=jnp.float32, max_steps=None, log=print, vocoder=None,
+          profile_dir=None):
+    """The reference main() loop (train.py:21-169).
+
+    profile_dir: when set, captures a jax.profiler device trace of steps
+    11-20 into that directory (view with TensorBoard) — the observability
+    superset of the reference's tqdm-only progress (SURVEY.md section 5).
+    """
     steps = StepConfig.build(train_config)
     optim_cfg = OptimConfig.build(train_config)
     total_step = min(steps.total_step, max_steps or steps.total_step)
@@ -179,16 +185,27 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     step = restore_step
     epoch = 0
     t0 = time.time()
+    from fastspeech2_tpu.data.prefetch import PrefetchIterator
+
+    def to_device(batch):
+        device = {
+            k: jax.device_put(v, batch_sharding)
+            for k, v in _model_batch(batch).items()
+        }
+        return batch, device
+
     while step < total_step:
-        for batch in loader.epoch(epoch):
+        for batch, device_batch in PrefetchIterator(
+                loader.epoch(epoch), depth=2, transform=to_device):
             if step >= total_step:
                 break
-            device_batch = {
-                k: jax.device_put(v, batch_sharding)
-                for k, v in _model_batch(batch).items()
-            }
+            if profile_dir and step - restore_step == 10:
+                jax.profiler.start_trace(profile_dir)
             state, losses = train_step(state, device_batch, rng)
             step += 1
+            if profile_dir and step - restore_step == 20:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
 
             if step % steps.log_step == 0:
                 vals = [float(v) for v in losses]
