@@ -95,6 +95,9 @@ def main():
         speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
         max_mel_len=T, train=False)
     voc_params = jax.jit(vocoder.init)(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
+    from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
+
+    folded_vocoder = FoldedHiFiGAN(voc_params, dtype=jnp.bfloat16)
 
     @jax.jit
     def floor_op(x):
@@ -104,7 +107,7 @@ def main():
     def e2e_sum(variables, voc_params, speakers, texts, src_lens):
         out = acoustic.apply(variables, speakers, texts, src_lens,
                              max_mel_len=T, train=False)
-        wav = vocoder.apply(voc_params, out.postnet_mel)
+        wav = folded_vocoder(out.postnet_mel)
         return (jnp.sum(wav.astype(jnp.float32))
                 + jnp.sum(out.mel_len).astype(jnp.float32))
 
