@@ -192,3 +192,102 @@ def test_control_ratios_change_output(parity_pair):
     hi_energy = run(e_control=1.2)
     assert not np.allclose(np.asarray(hi_energy.postnet_mel),
                            np.asarray(base.postnet_mel))
+
+
+def test_loss_parity(parity_pair):
+    """Our static-shape masked losses equal the reference's masked_select
+    losses on identical outputs (model/loss.py:5-92)."""
+    tmodel, fmodel, variables, cfg = parity_pair
+    speakers, texts, src_lens, durations, mel_lens, T, pitch, energy = (
+        _batch(seed=7))
+    rng = np.random.RandomState(7)
+    mels = rng.randn(len(speakers), T, 80).astype(np.float32)
+    for b, L in enumerate(mel_lens):
+        mels[b, L:] = 0.0
+
+    f_out = fmodel.apply(
+        variables, jnp.asarray(speakers), jnp.asarray(texts),
+        jnp.asarray(src_lens), mel_lens=jnp.asarray(mel_lens),
+        max_mel_len=T, p_targets=jnp.asarray(pitch),
+        e_targets=jnp.asarray(energy), d_targets=jnp.asarray(durations),
+        train=False)
+
+    from fastspeech2_tpu.models import fastspeech2_loss
+
+    f_losses = fastspeech2_loss(cfg, f_out, jnp.asarray(mels),
+                                jnp.asarray(pitch), jnp.asarray(energy),
+                                jnp.asarray(durations))
+
+    import model as ref_model
+
+    preprocess, model_cfg = _ljspeech_configs("/root/reference")
+    t_loss_fn = ref_model.FastSpeech2Loss(preprocess, model_cfg)
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(speakers), torch.from_numpy(texts),
+            torch.from_numpy(src_lens), int(src_lens.max()), mels=None,
+            mel_lens=torch.from_numpy(mel_lens), max_mel_len=T,
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy),
+            d_targets=torch.from_numpy(durations))
+        t_inputs = (None, None, None, None, None, None,
+                    torch.from_numpy(mels), None, None,
+                    torch.from_numpy(pitch), torch.from_numpy(energy),
+                    torch.from_numpy(durations))
+        t_losses = t_loss_fn(t_inputs, t_out)
+
+    for f_v, t_v in zip(f_losses, t_losses):
+        np.testing.assert_allclose(float(f_v), float(t_v), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_multi_speaker_parity(ref, tmp_path):
+    """Speaker-embedding path parity (model/fastspeech2.py:30-41,68-71)."""
+    import json
+    import shutil
+
+    from fastspeech2_tpu.configs.config import FastSpeech2Config
+    from fastspeech2_tpu.convert.from_torch import (
+        fastspeech2_variables_from_torch,
+    )
+    from fastspeech2_tpu.models import FastSpeech2
+
+    preprocess, model_cfg = _ljspeech_configs(ref.root)
+    # fabricate a 4-speaker preprocessed dir reusing LJSpeech stats
+    pre = str(tmp_path / "pre")
+    shutil.copytree(f"{ref.root}/preprocessed_data/LJSpeech", pre,
+                    ignore=shutil.ignore_patterns("*.txt"))
+    with open(f"{pre}/speakers.json", "w") as f:
+        json.dump({f"s{i}": i for i in range(4)}, f)
+    preprocess["path"]["preprocessed_path"] = pre
+    model_cfg = dict(model_cfg, multi_speaker=True)
+
+    torch.manual_seed(1)
+    tmodel = ref.model.FastSpeech2(preprocess, model_cfg).eval()
+    cfg = FastSpeech2Config.build(preprocess, model_cfg)
+    assert cfg.multi_speaker and cfg.n_speaker == 4
+    fmodel = FastSpeech2(cfg)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray,
+        fastspeech2_variables_from_torch(tmodel.state_dict(), cfg))
+
+    speakers, texts, src_lens, durations, mel_lens, T, pitch, energy = (
+        _batch(seed=9))
+    speakers = np.array([1, 3])
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(speakers), torch.from_numpy(texts),
+            torch.from_numpy(src_lens), int(src_lens.max()), mels=None,
+            mel_lens=torch.from_numpy(mel_lens), max_mel_len=T,
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy),
+            d_targets=torch.from_numpy(durations))
+    f_out = fmodel.apply(
+        variables, jnp.asarray(speakers), jnp.asarray(texts),
+        jnp.asarray(src_lens), mel_lens=jnp.asarray(mel_lens),
+        max_mel_len=T, p_targets=jnp.asarray(pitch),
+        e_targets=jnp.asarray(energy), d_targets=jnp.asarray(durations),
+        train=False)
+    np.testing.assert_allclose(
+        np.asarray(f_out.postnet_mel), t_out[1].numpy(), atol=2e-4,
+        rtol=1e-4)
