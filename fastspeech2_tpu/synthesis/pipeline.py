@@ -50,6 +50,23 @@ class Synthesizer:
 
         self._forward = _forward
 
+        # fused text->wav: one dispatch for acoustic + vocoder when the
+        # vocoder exposes a jit-composable apply (HiFi-GAN/MelGAN)
+        self._fused = None
+        inner = getattr(vocoder, "raw_apply", None)
+        if inner is not None:
+            @partial(jax.jit, static_argnames=("max_mel_len",))
+            def _fused(variables, voc_params, speakers, texts, src_lens,
+                       p, e, d, max_mel_len):
+                out = model.apply(
+                    variables, speakers, texts, src_lens,
+                    max_mel_len=max_mel_len,
+                    p_control=p, e_control=e, d_control=d, train=False)
+                wav = inner(voc_params, out.postnet_mel)
+                return wav, out
+
+            self._fused = _fused
+
     # -- text frontends --------------------------------------------------
 
     @property
@@ -98,6 +115,32 @@ class Synthesizer:
                    d_control=1.0):
         """list of raw strings -> (list of int16 wavs, FastSpeech2Output)."""
         id_seqs = [self.text_to_ids(t)[0] for t in texts]
+        if self._fused is not None:
+            B = len(id_seqs)
+            P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
+            texts_arr = np.zeros((B, P), np.int32)
+            src_lens = np.zeros(B, np.int32)
+            for b, s in enumerate(id_seqs):
+                texts_arr[b, : len(s)] = s
+                src_lens[b] = len(s)
+            if speakers is None:
+                speakers = np.zeros(B, np.int32)
+            wav_float, out = self._fused(
+                self.variables, self.vocoder.params,
+                jnp.asarray(speakers), jnp.asarray(texts_arr),
+                jnp.asarray(src_lens),
+                jnp.float32(p_control), jnp.float32(e_control),
+                jnp.float32(d_control), max_mel_len=self.max_mel_len)
+            pp = self.preprocess_config["preprocessing"]
+            hop = pp["stft"]["hop_length"]
+            max_wav_value = pp["audio"]["max_wav_value"]
+            wavs_np = np.clip(
+                np.asarray(wav_float, np.float32) * max_wav_value,
+                -32768, 32767).astype(np.int16)
+            mel_len = np.asarray(out.mel_len)
+            wavs = [wavs_np[i, : int(mel_len[i]) * hop]
+                    for i in range(B)]
+            return wavs, out
         out = self.infer_ids(id_seqs, speakers, p_control, e_control,
                              d_control)
         mel_len = np.asarray(out.mel_len)

@@ -53,9 +53,10 @@ class HiFiGANVocoder:
             from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
 
             evaluator = FoldedHiFiGAN(params, config=config, dtype=dtype)
-            self._apply = jax.jit(lambda _, m: evaluator(m))
+            self.raw_apply = lambda _, m: evaluator(m)
         else:
-            self._apply = jax.jit(self.generator.apply)
+            self.raw_apply = self.generator.apply
+        self._apply = jax.jit(self.raw_apply)
 
     def __call__(self, mels):
         """[B, T, n_mels] -> [B, T * upsample] float waveform."""
@@ -88,10 +89,13 @@ class MelGANVocoder:
             params = jax.jit(self.generator.init)(jax.random.PRNGKey(0),
                                                   mel)
         self.params = params
-        self._apply = jax.jit(self.generator.apply)
+        # the reference feeds MelGAN log10 mels (utils/model.py:78)
+        self.raw_apply = lambda p, m: self.generator.apply(
+            p, m / jnp.log(10.0))
+        self._apply = jax.jit(self.raw_apply)
 
     def __call__(self, mels):
-        return self._apply(self.params, mels / jnp.log(10.0))
+        return self._apply(self.params, mels)
 
 
 class GriffinLimVocoder:
