@@ -77,8 +77,9 @@ class FastSpeech2Config:
     max_seq_len: int = 1000
     multi_speaker: bool = False
     n_speaker: int = 1
-    # kernels: "auto" = Pallas fused attention on TPU, XLA elsewhere
+    # kernels: "auto" = Pallas fused kernels on TPU, XLA elsewhere
     attention_backend: str = "auto"
+    ffn_backend: str = "auto"
 
     @classmethod
     def build(cls, preprocess_config, model_config, stats=None, n_speaker=None):

@@ -76,6 +76,7 @@ class FastSpeech2(nn.Module):
             dropout=cfg.encoder_dropout,
             dtype=self.dtype,
             attention_backend=cfg.attention_backend,
+            ffn_backend=cfg.ffn_backend,
             name="encoder",
         )(texts, src_pad_mask, deterministic=deterministic)
 
@@ -119,6 +120,7 @@ class FastSpeech2(nn.Module):
             max_seq_len=cfg.max_seq_len,
             dtype=self.dtype,
             attention_backend=cfg.attention_backend,
+            ffn_backend=cfg.ffn_backend,
             name="decoder",
         )(x, mel_pad_mask, deterministic=deterministic)
 

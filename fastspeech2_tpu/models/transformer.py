@@ -63,26 +63,115 @@ class MultiHeadSelfAttention(nn.Module):
         return TorchLayerNorm(self.d_model, dtype=self.dtype)(out + residual)
 
 
+class _ConvParamsLeaf(nn.Module):
+    """Raw conv1d parameters under the same tree path nn.Conv would use."""
+
+    out_features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from fastspeech2_tpu.models.common import (
+            torch_bias_init,
+            torch_kernel_init,
+        )
+
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (self.kernel_size, self.in_features, self.out_features))
+        bias = self.param(
+            "bias", torch_bias_init(self.in_features * self.kernel_size),
+            (self.out_features,))
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    out_features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParamsLeaf(self.out_features, self.kernel_size,
+                               self.in_features, name="Conv_0")()
+
+
+class _LNParamsLeaf(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _LNParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParamsLeaf(self.features, name="LayerNorm_0")()
+
+
 class ConvFeedForward(nn.Module):
     """conv1d(k0) -> ReLU -> conv1d(k1) -> dropout -> post-LN residual
-    (reference transformer/SubLayers.py:60-93)."""
+    (reference transformer/SubLayers.py:60-93).
+
+    In deterministic mode with a Pallas backend the whole block runs as one
+    fused VMEM-resident kernel (ops/pallas_ffn.py); training (dropout
+    active) and CPU use the XLA formulation.  Both share the same params.
+    """
 
     d_model: int
     d_inner: int
     kernel_size: Tuple[int, int]
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    ffn_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        residual = x
-        y = TorchConv1d(self.d_inner, self.kernel_size[0], dtype=self.dtype,
-                        name="w_1")(x)
-        y = nn.relu(y)
-        y = TorchConv1d(self.d_model, self.kernel_size[1], dtype=self.dtype,
-                        name="w_2")(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return TorchLayerNorm(self.d_model, dtype=self.dtype)(y + residual)
+        w1, b1 = _ConvParams(self.d_inner, self.kernel_size[0],
+                             self.d_model, name="w_1")()
+        w2, b2 = _ConvParams(self.d_model, self.kernel_size[1],
+                             self.d_inner, name="w_2")()
+        ln_scale, ln_bias = _LNParams(self.d_model,
+                                      name="TorchLayerNorm_0")()
+
+        backend = self.ffn_backend
+        if backend == "auto":
+            import jax
+
+            backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                       else "xla")
+        if deterministic and backend in ("pallas", "pallas_interpret"):
+            from fastspeech2_tpu.ops.pallas_ffn import fused_conv_ffn
+
+            return fused_conv_ffn(
+                x, w1, b1, w2, b2, ln_scale, ln_bias,
+                backend == "pallas_interpret")
+
+        import jax as _jax
+
+        residual = x.astype(jnp.float32)
+        y = _jax.lax.conv_general_dilated(
+            x, w1.astype(x.dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32) + b1
+        y = jnp.maximum(y, 0.0).astype(x.dtype)
+        y = _jax.lax.conv_general_dilated(
+            y, w2.astype(x.dtype), (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32) + b2
+        y = nn.Dropout(self.dropout)(
+            y.astype(self.dtype), deterministic=deterministic)
+        y = y.astype(jnp.float32) + residual
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+        out = (y - mu) * _jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+        return out.astype(self.dtype)
 
 
 class FFTBlock(nn.Module):
@@ -96,6 +185,7 @@ class FFTBlock(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "xla"
+    ffn_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic=True):
@@ -106,7 +196,7 @@ class FFTBlock(nn.Module):
         x = fill_masked(x, pad_mask)
         x = ConvFeedForward(
             self.d_model, self.d_inner, self.kernel_size, self.dropout,
-            dtype=self.dtype, name="pos_ffn",
+            dtype=self.dtype, ffn_backend=self.ffn_backend, name="pos_ffn",
         )(x, deterministic=deterministic)
         x = fill_masked(x, pad_mask)
         return x
@@ -124,6 +214,7 @@ class Encoder(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "xla"
+    ffn_backend: str = "xla"
 
     @nn.compact
     def __call__(self, src_seq, src_pad_mask, deterministic=True):
@@ -142,7 +233,8 @@ class Encoder(nn.Module):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
                 self.dropout, dtype=self.dtype,
-                attention_backend=self.attention_backend, name=f"layer_{i}",
+                attention_backend=self.attention_backend,
+                ffn_backend=self.ffn_backend, name=f"layer_{i}",
             )(x, src_pad_mask, deterministic=deterministic)
         return x
 
@@ -161,6 +253,7 @@ class Decoder(nn.Module):
     max_seq_len: int = 1000
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "xla"
+    ffn_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, mel_pad_mask, deterministic=True,
@@ -176,6 +269,7 @@ class Decoder(nn.Module):
             x = FFTBlock(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
                 self.dropout, dtype=self.dtype,
-                attention_backend=self.attention_backend, name=f"layer_{i}",
+                attention_backend=self.attention_backend,
+                ffn_backend=self.ffn_backend, name=f"layer_{i}",
             )(x, mel_pad_mask, deterministic=deterministic)
         return x, mel_pad_mask

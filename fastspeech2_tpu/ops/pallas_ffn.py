@@ -1,0 +1,138 @@
+"""Fused position-wise conv FFN as a Pallas TPU kernel.
+
+Computes LN(conv1d_k9(x) -> ReLU -> conv1d_k1 (+residual)) for one batch
+row per grid cell, entirely in VMEM: the [L, d_inner] activation (3.7 MB
+fp32 at L=896) never round-trips to HBM, and the k-tap convs are issued as
+k shifted [L, D] x [D, H] matmuls on the MXU.  Matches the XLA
+ConvFeedForward numerics (fp32 accumulation and LayerNorm, torch eps 1e-5).
+
+Deterministic only (the reference applies dropout before the residual-add
+in training, transformer/SubLayers.py:89-91) — training keeps the XLA path.
+Backward, if ever taken, recomputes through the XLA reference via
+custom_vjp.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_conv_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias):
+    """Reference implementation (also the backward path).
+
+    x [B, L, D]; w1 [k1, D, H]; w2 [k2, H, D]; LN over D.
+    """
+    y = jax.lax.conv_general_dilated(
+        x, w1.astype(x.dtype), (1,), "SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32) + b1
+    y = jnp.maximum(y, 0.0).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        y, w2.astype(x.dtype), (1,), "SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32) + b2
+    y = y + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+    out = (y - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+    return out.astype(x.dtype)
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, beta_ref,
+                o_ref, xpad_ref, hpad_ref, *, k1, k2):
+    x = x_ref[0]                                   # [L, D]
+    L, D = x.shape
+    H = w1_ref.shape[-1]
+    p1, p2 = (k1 - 1) // 2, (k2 - 1) // 2
+
+    xpad_ref[...] = jnp.zeros_like(xpad_ref)
+    xpad_ref[p1:p1 + L, :] = x
+
+    acc = jnp.broadcast_to(b1_ref[0].astype(jnp.float32), (L, H))
+    for j in range(k1):
+        acc = acc + jnp.dot(
+            xpad_ref[j:j + L, :], w1_ref[j],
+            preferred_element_type=jnp.float32)
+    h = jnp.maximum(acc, 0.0).astype(x.dtype)      # [L, H]
+
+    if k2 == 1:
+        y = jnp.dot(h, w2_ref[0], preferred_element_type=jnp.float32)
+    else:
+        hpad_ref[...] = jnp.zeros_like(hpad_ref)
+        hpad_ref[p2:p2 + L, :] = h
+        y = jnp.zeros((L, D), jnp.float32)
+        for j in range(k2):
+            y = y + jnp.dot(
+                hpad_ref[j:j + L, :], w2_ref[j],
+                preferred_element_type=jnp.float32)
+    y = y + b2_ref[0].astype(jnp.float32) + x.astype(jnp.float32)
+
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mu)
+    out = ((y - mu) * jax.lax.rsqrt(var + 1e-5)
+           * g_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32))
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=False):
+    B, L, D = x.shape
+    k1, _, H = w1.shape
+    k2 = w2.shape[0]
+    kernel = functools.partial(_ffn_kernel, k1=k1, k2=k2)
+    dt = x.dtype
+
+    def row2d(v):
+        return v.reshape(1, -1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, D, H), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, H, D), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), dt),
+        scratch_shapes=[
+            pltpu.VMEM((L + k1 - 1, D), dt),
+            pltpu.VMEM((L + k2 - 1, H), dt),
+        ],
+        interpret=interpret,
+    )(x, w1.astype(dt), row2d(b1), w2.astype(dt), row2d(b2),
+      row2d(ln_scale), row2d(ln_bias))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_conv_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=False):
+    return _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                           interpret=interpret)
+
+
+def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret):
+    out = _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                          interpret=interpret)
+    return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
+
+
+def _bwd(interpret, residuals, g):
+    _, vjp = jax.vjp(xla_conv_ffn, *residuals)
+    return vjp(g)
+
+
+fused_conv_ffn.defvjp(_fwd, _bwd)

@@ -1,0 +1,74 @@
+"""Fused conv-FFN Pallas kernel: parity with the XLA path (interpret mode)
+and gradient flow via custom VJP."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fastspeech2_tpu.ops.pallas_ffn import fused_conv_ffn, xla_conv_ffn
+
+
+def _inputs(B=2, L=24, D=16, H=32, k1=9, k2=1, seed=0):
+    r = np.random.RandomState(seed)
+    x = jnp.asarray(r.randn(B, L, D), jnp.float32)
+    w1 = jnp.asarray(r.randn(k1, D, H) * 0.1, jnp.float32)
+    b1 = jnp.asarray(r.randn(H) * 0.1, jnp.float32)
+    w2 = jnp.asarray(r.randn(k2, H, D) * 0.1, jnp.float32)
+    b2 = jnp.asarray(r.randn(D) * 0.1, jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * r.randn(D), jnp.float32)
+    beta = jnp.asarray(0.1 * r.randn(D), jnp.float32)
+    return x, w1, b1, w2, b2, g, beta
+
+
+def test_fused_ffn_matches_xla():
+    args = _inputs()
+    ref = xla_conv_ffn(*args)
+    got = fused_conv_ffn(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ffn_k3_second_conv():
+    args = _inputs(k2=3)
+    ref = xla_conv_ffn(*args)
+    got = fused_conv_ffn(*args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_ffn_grad_matches_xla():
+    args = _inputs(L=16, D=8, H=16)
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fused_conv_ffn(*a, True) ** 2),
+        argnums=tuple(range(7)))(*args)
+    g_xla = jax.grad(
+        lambda *a: jnp.sum(xla_conv_ffn(*a) ** 2),
+        argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_model_with_pallas_ffn_interpret():
+    from fastspeech2_tpu.models import FastSpeech2
+
+    from helpers import tiny_config
+
+    variables_cfg = tiny_config(ffn_backend="xla",
+                                attention_backend="xla")
+    model_x = FastSpeech2(variables_cfg)
+    rng = jax.random.PRNGKey(0)
+    texts = jnp.ones((2, 8), jnp.int32)
+    src_lens = jnp.asarray([8, 6])
+    variables = model_x.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2,), jnp.int32), texts, src_lens,
+        max_mel_len=16, train=False)
+    out_x = model_x.apply(variables, jnp.zeros((2,), jnp.int32), texts,
+                          src_lens, max_mel_len=16, train=False)
+
+    model_p = FastSpeech2(tiny_config(ffn_backend="pallas_interpret",
+                                      attention_backend="xla"))
+    out_p = model_p.apply(variables, jnp.zeros((2,), jnp.int32), texts,
+                          src_lens, max_mel_len=16, train=False)
+    np.testing.assert_allclose(np.asarray(out_p.postnet_mel),
+                               np.asarray(out_x.postnet_mel), atol=1e-5)
