@@ -155,16 +155,17 @@ class ConvFeedForward(nn.Module):
 
         import jax as _jax
 
+        # no preferred_element_type here: its transpose rule rejects the
+        # mixed f32-cotangent/bf16-operand convs under jax.grad; the MXU
+        # accumulates bf16 matmuls in f32 internally regardless
         residual = x.astype(jnp.float32)
         y = _jax.lax.conv_general_dilated(
             x, w1.astype(x.dtype), (1,), "SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32) + b1
-        y = jnp.maximum(y, 0.0).astype(x.dtype)
+            dimension_numbers=("NWC", "WIO", "NWC")) + b1.astype(x.dtype)
+        y = jnp.maximum(y, 0.0)
         y = _jax.lax.conv_general_dilated(
             y, w2.astype(x.dtype), (1,), "SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32) + b2
+            dimension_numbers=("NWC", "WIO", "NWC")) + b2.astype(x.dtype)
         y = nn.Dropout(self.dropout)(
             y.astype(self.dtype), deterministic=deterministic)
         y = y.astype(jnp.float32) + residual
