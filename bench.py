@@ -59,6 +59,22 @@ def _pack(seqs, batch, max_phones, offset=0):
 
 
 def main():
+    try:
+        _main()
+    except Exception as e:  # always emit a result line for the driver
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "rtf_text_to_wav_b32_1chip",
+            "value": None,
+            "unit": "rtf",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+
+
+def _main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--frames", type=int, default=896,

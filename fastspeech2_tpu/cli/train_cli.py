@@ -11,7 +11,9 @@ from fastspeech2_tpu.cli.common import (
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--restore_step", type=int, default=0,
+                        help="checkpoint step to resume from; -1 resumes "
+                             "from the latest checkpoint if any")
     add_config_args(parser)
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop early after this many steps")
@@ -23,9 +25,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
+    restore_step = args.restore_step
+    if restore_step == -1:
+        from fastspeech2_tpu.training.checkpoint import latest_step
+
+        restore_step = latest_step(configs[2]["path"]["ckpt_path"]) or 0
+        print(f"Resuming from step {restore_step}")
     from fastspeech2_tpu.training.loop import train
 
-    train(*configs, restore_step=args.restore_step,
+    train(*configs, restore_step=restore_step,
           dtype=dtype_from_flag(args.dtype), max_steps=args.max_steps,
           profile_dir=args.profile_dir)
 

@@ -124,7 +124,10 @@ class BucketedLoader:
 
     def __init__(self, dataset, batch_size, group_size=4, shuffle=True,
                  drop_last=False, seed=0, text_bucket=8, mel_bucket=32,
-                 max_mel_len=None):
+                 max_mel_len=None, shard_id=0, num_shards=1):
+        """shard_id/num_shards: multi-host data parallelism — every host
+        builds the same global shuffle and takes every num_shards-th batch,
+        so per-host streams are disjoint and equally long (lockstep-safe)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.group_size = group_size
@@ -134,8 +137,19 @@ class BucketedLoader:
         self.text_bucket = text_bucket
         self.mel_bucket = mel_bucket
         self.max_mel_len = max_mel_len
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self._text_lens = np.array(
             [len(dataset.phones(i)) for i in range(len(dataset))])
+
+    def _total_batches(self, n):
+        group = self.batch_size * self.group_size
+        total = 0
+        for start in range(0, n, group):
+            size = min(group, n - start)
+            full, rem = divmod(size, self.batch_size)
+            total += full + (0 if self.drop_last or rem == 0 else 1)
+        return total
 
     def epoch(self, epoch_idx=0):
         n = len(self.dataset)
@@ -144,6 +158,11 @@ class BucketedLoader:
             rng = np.random.RandomState(self.seed + epoch_idx)
             rng.shuffle(order)
         group = self.batch_size * self.group_size
+        batch_no = -1
+        # equal-length shards for multi-host lockstep
+        per_shard_cap = (self._total_batches(n) // self.num_shards
+                         if self.num_shards > 1 else None)
+        yielded = 0
         for start in range(0, n, group):
             chunk = order[start: start + group]
             # sort by text length desc inside the group (dataset.py:129-131)
@@ -152,6 +171,13 @@ class BucketedLoader:
                 idxs = chunk[bstart: bstart + self.batch_size]
                 if self.drop_last and len(idxs) < self.batch_size:
                     continue
+                batch_no += 1
+                if self.num_shards > 1 and (
+                        batch_no % self.num_shards != self.shard_id):
+                    continue
+                if per_shard_cap is not None and yielded >= per_shard_cap:
+                    return
+                yielded += 1
                 samples = [self.dataset[i] for i in idxs]
                 if not self.drop_last and len(idxs) < self.batch_size:
                     # pad batch to full size by repeating the last sample so

@@ -72,3 +72,23 @@ def test_partial_batch_padding(corpus):
     assert len(batches) == 3
     assert batches[-1]["valid_count"] == 2
     assert batches[-1]["texts"].shape[0] == 3  # padded to full batch
+
+
+def test_multi_host_sharding(corpus):
+    cfg = synthetic_preprocess_config(corpus)
+    ds = FeatureDataset("train.txt", cfg)
+    full = list(BucketedLoader(ds, batch_size=4, group_size=2, shuffle=True,
+                               drop_last=True).epoch(0))
+    shards = [
+        list(BucketedLoader(ds, batch_size=4, group_size=2, shuffle=True,
+                            drop_last=True, shard_id=i,
+                            num_shards=2).epoch(0))
+        for i in range(2)
+    ]
+    # equal-length, disjoint, and together covering the stream prefix
+    assert len(shards[0]) == len(shards[1]) == len(full) // 2
+    ids0 = {tuple(b["ids"]) for b in shards[0]}
+    ids1 = {tuple(b["ids"]) for b in shards[1]}
+    assert ids0.isdisjoint(ids1)
+    all_full = [tuple(b["ids"]) for b in full]
+    assert all(i in all_full for i in ids0 | ids1)
