@@ -190,13 +190,28 @@ class Preprocessor:
         with open(text_path) as f:
             raw_text = f.readline().strip("\n")
 
+        # pad the wav to a coarse static bucket so the jitted mel/F0
+        # functions compile once per bucket instead of once per utterance
+        # (trailing zeros are sliced away via [:total])
+        bucket = 32768
+        padded_len = ((len(wav) + bucket - 1) // bucket) * bucket
+        wav_padded = np.zeros(padded_len, dtype=wav.dtype)
+        wav_padded[: len(wav)] = wav
+        # reflect past the true end so boundary frames match the unpadded
+        # centered-STFT values (reference reflect-pads, audio/stft.py:60-65)
+        n_fft = self.mel_fn.filter_length
+        tail = min(n_fft, padded_len - len(wav), len(wav) - 1)
+        if tail > 0:
+            wav_padded[len(wav): len(wav) + tail] = wav[-2: -tail - 2: -1]
+
         pitch = np.asarray(yin_f0(
-            jnp.asarray(wav), self.sampling_rate, self.hop_length))
+            jnp.asarray(wav_padded), self.sampling_rate, self.hop_length))
         pitch = pitch[:total]
         if np.sum(pitch != 0) <= 1:
             return None
 
-        mel, energy = self.mel_fn(jnp.asarray(wav, jnp.float32)[None, :])
+        mel, energy = self.mel_fn(
+            jnp.asarray(wav_padded, jnp.float32)[None, :])
         mel = np.asarray(mel)[0][:, :total]              # [n_mels, T]
         energy = np.asarray(energy)[0][:total]
 

@@ -143,6 +143,14 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
     name = model_config["vocoder"]["model"]
     if name == "HiFi-GAN":
         config = load_hifigan_config()
+        if ckpt_path is None:
+            # look for generator_<speaker>.pth.tar next to the bundled
+            # config, mirroring utils/model.py:58-65's speaker selection
+            speaker = model_config["vocoder"].get("speaker", "LJSpeech")
+            candidate = os.path.join(
+                _HIFIGAN_DIR, f"generator_{speaker}.pth.tar")
+            if os.path.exists(candidate):
+                ckpt_path = candidate
         params = None
         if ckpt_path and os.path.exists(ckpt_path):
             from fastspeech2_tpu.convert.from_torch import (

@@ -252,6 +252,24 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 log(msg)
                 val_logger.message(msg)
                 val_logger.scalars(step, val_losses)
+                # one val sample to TB (reference evaluate.py:57-84)
+                try:
+                    val_loader = BucketedLoader(
+                        val_dataset, batch_size=1, group_size=1,
+                        shuffle=False, drop_last=False,
+                        max_mel_len=cfg.max_seq_len)
+                    val_batch = next(iter(val_loader.epoch(0)))
+                    fig, wav_rec, wav_pred = synth_one_sample(
+                        model, cfg, state, val_batch, preprocess_config,
+                        vocoder)
+                    val_logger.figure(
+                        f"Validation/step_{step}_{val_batch['ids'][0]}",
+                        fig)
+                    import matplotlib.pyplot as plt
+
+                    plt.close(fig)
+                except Exception as e:  # non-fatal duty
+                    log(f"val synth failed: {e}")
 
             if step % steps.save_step == 0:
                 save_checkpoint(ckpt_dir, state, step)
