@@ -163,9 +163,12 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     log(f"Number of FastSpeech2 Parameters: {n_params}")
 
     dataset = FeatureDataset("train.txt", preprocess_config)
+    # coarse buckets: remote compiles are minutes each, so ~7% padding
+    # waste for a handful of distinct (P, T) shapes is the right trade
     loader = BucketedLoader(
         dataset, batch_size=optim_cfg.batch_size, group_size=4,
-        shuffle=True, drop_last=True, max_mel_len=cfg.max_seq_len)
+        shuffle=True, drop_last=True, max_mel_len=cfg.max_seq_len,
+        text_bucket=32, mel_bucket=160)
     val_dataset = FeatureDataset("val.txt", preprocess_config)
 
     train_step = jax.jit(
