@@ -54,16 +54,65 @@ def _conv(x, kernel, bias=None, pad=None, dilation=1):
     return y
 
 
-class FoldedHiFiGAN:
-    """Inference-optimized evaluator over standard HiFiGANGenerator params."""
+# measured v5e resblock throughput by channel count (TF/s); folded convs
+# run with full lanes at ~170
+_EFF_BY_CH = {32: 15.0, 64: 62.0, 128: 168.0, 256: 179.0}
+_EFF_FOLDED = 170.0
 
-    def __init__(self, params, config=None, min_lanes=128, fold_below=64,
+
+def _eff(ch):
+    best = 179.0
+    for c, e in _EFF_BY_CH.items():
+        if ch <= c:
+            return e
+    return best
+
+
+def _fold_inflation(k, dilation, F):
+    """Dense block-Toeplitz folding inflates a conv's FLOPs by K'*F/k."""
+    c = (k - 1) // 2
+    q_min = (dilation * (0 - c)) // F
+    q_max = (F - 1 + dilation * (k - 1 - c)) // F
+    return (q_max - q_min + 1) * F / k
+
+
+def _stage_should_fold(ch, F, kernels, dilation_sets):
+    """Whole-stage fold decision (all convs or none: mixing layouts inside
+    a stage forces unfold copies of lane-padded [.., ch<128] tensors — 4x
+    memory at ch=32 — which OOMs and erases the gains).
+
+    Folded cost ~ sum(k * inflation)/eff_folded vs sum(k)/eff(ch), with a
+    2.5x empirical margin on the folded side: measured on v5e, folding the
+    ch=64 stage is a slight net loss despite the naive model favoring it
+    (the wide K' folded convs do not reach the nominal folded TF/s), while
+    ch=32 still folds decisively.
+    """
+    if F <= 1:
+        return False
+    taps = folded = 0.0
+    for k, dils in zip(kernels, dilation_sets):
+        for d in dils:
+            taps += 2 * k
+            folded += k * (_fold_inflation(k, d, F)
+                           + _fold_inflation(k, 1, F))
+    return 2.5 * folded / _EFF_FOLDED < taps / _eff(ch)
+
+
+class FoldedHiFiGAN:
+    """Inference-optimized evaluator over standard HiFiGANGenerator params.
+
+    Folding decisions are PER CONV via the cost model above: e.g. at ch=32
+    every conv folds (underfill dominates), at ch=64 only the low-dilation
+    k=7/k=11 convs fold (dilated k=3 convs inflate too much).  Transitions
+    between folded/unfolded layouts are plain reshapes merging adjacent
+    time rows into channels — layout no-ops in row-major memory.
+    """
+
+    def __init__(self, params, config=None, min_lanes=128, fold_below=128,
                  dtype=jnp.bfloat16):
-        """fold_below: only stages with ch < fold_below are folded.  Folding
-        inflates FLOPs by ~(k+F)/k per conv (the block-Toeplitz kernel is
-        computed densely), so it only pays where lane underfill is worse
-        than that factor — measured on v5e: ch=32 gains ~2.6x, ch=64 loses.
-        """
+        """min_lanes sets the fold factor F = ceil(min_lanes/ch);
+        fold_below=0 disables folding entirely, fold_below>=1000 with the
+        default cost model folds wherever profitable (tests override)."""
         config = config or {}
         self.up_rates = tuple(config.get("upsample_rates", (8, 8, 2, 2)))
         self.up_kernels = tuple(
@@ -85,26 +134,30 @@ class FoldedHiFiGAN:
         for i in range(len(self.up_rates)):
             ch = self.init_ch // (2 ** (i + 1))
             F = max(1, -(-min_lanes // ch)) if ch < fold_below else 1
+            if not _stage_should_fold(ch, F, self.rb_kernels,
+                                      self.rb_dilations):
+                F = 1
+
+            def build_conv(w, b, d):
+                if F > 1:
+                    wf, lo, hi = fold_conv1d_weights(w, d, F)
+                    return (jnp.asarray(wf), (lo, hi),
+                            jnp.asarray(np.tile(np.asarray(b), F)), 1, True)
+                return (jnp.asarray(np.asarray(w)), None, jnp.asarray(b),
+                        d, False)
+
             blocks = []
             for j, (k, dils) in enumerate(
                     zip(self.rb_kernels, self.rb_dilations)):
                 rb = p[f"resblock_{i * nk + j}"]
                 taps = []
                 for t, d in enumerate(dils):
-                    w1, b1 = rb[f"conv1_{t}"]["kernel"], rb[f"conv1_{t}"]["bias"]
-                    w2, b2 = rb[f"conv2_{t}"]["kernel"], rb[f"conv2_{t}"]["bias"]
-                    if F > 1:
-                        w1, lo1, hi1 = fold_conv1d_weights(w1, d, F)
-                        w2, lo2, hi2 = fold_conv1d_weights(w2, 1, F)
-                        taps.append((
-                            jnp.asarray(w1), (lo1, hi1),
-                            jnp.asarray(np.tile(np.asarray(b1), F)),
-                            jnp.asarray(w2), (lo2, hi2),
-                            jnp.asarray(np.tile(np.asarray(b2), F)), 1, 1))
-                    else:
-                        taps.append((
-                            jnp.asarray(w1), None, jnp.asarray(b1),
-                            jnp.asarray(w2), None, jnp.asarray(b2), d, 1))
+                    taps.append((
+                        build_conv(rb[f"conv1_{t}"]["kernel"],
+                                   rb[f"conv1_{t}"]["bias"], d),
+                        build_conv(rb[f"conv2_{t}"]["kernel"],
+                                   rb[f"conv2_{t}"]["bias"], 1),
+                    ))
                 blocks.append(taps)
             self.stages.append((F, blocks))
 
@@ -126,19 +179,24 @@ class FoldedHiFiGAN:
             F, blocks = self.stages[i]
             b, t, c = x.shape
             if F > 1:
+                # enter folded layout once for the whole stage; every conv
+                # in it carries folded weights
                 x = x.reshape(b, t // F, F * c)
+
+            def apply_conv(v, spec):
+                w, pad, bias, d, _ = spec
+                return _conv(v, w, bias,
+                             pad=pad if pad is None else tuple(pad),
+                             dilation=d)
+
             acc = None
             for taps in blocks:
                 y = x
-                for (w1, pad1, b1, w2, pad2, b2, d1, d2) in taps:
+                for conv1_spec, conv2_spec in taps:
                     xt = jax.nn.leaky_relu(y, LRELU_SLOPE)
-                    xt = _conv(xt, w1, b1,
-                               pad=pad1 if pad1 is None else tuple(pad1),
-                               dilation=d1)
+                    xt = apply_conv(xt, conv1_spec)
                     xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
-                    xt = _conv(xt, w2, b2,
-                               pad=pad2 if pad2 is None else tuple(pad2),
-                               dilation=d2)
+                    xt = apply_conv(xt, conv2_spec)
                     y = y + xt
                 acc = y if acc is None else acc + y
             x = acc / len(blocks)
