@@ -32,6 +32,9 @@ def main(argv=None):
                         help="torch HiFi-GAN generator checkpoint")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
+    parser.add_argument("--long", action="store_true",
+                        help="single mode: no 100-char truncation; split "
+                             "into sentences and join the audio")
     args = parser.parse_args(argv)
 
     if args.mode == "batch":
@@ -53,6 +56,22 @@ def main(argv=None):
                               vocoder=vocoder)
     result_path = train_config["path"]["result_path"]
 
+    if args.mode == "single" and args.long:
+        import os
+
+        from fastspeech2_tpu.audio.wav import save_wav
+
+        wav, chunks = synthesizer.synthesize_long(
+            args.text, args.speaker_id, args.pitch_control,
+            args.energy_control, args.duration_control)
+        os.makedirs(result_path, exist_ok=True)
+        out_path = os.path.join(result_path, f"{args.text[:40]}.wav")
+        sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
+        from scipy.io import wavfile
+
+        wavfile.write(out_path, sr, wav)
+        print(f"Synthesized {len(chunks)} chunks -> {out_path}")
+        return
     if args.mode == "single":
         ids = [args.text[:100]]
         ids_seq, phones = synthesizer.text_to_ids(args.text)

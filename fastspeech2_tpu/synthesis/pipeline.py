@@ -151,6 +151,33 @@ class Synthesizer:
                 lengths=mel_len)
         return wavs, out
 
+    def synthesize_long(self, text, speaker=0, p_control=1.0, e_control=1.0,
+                        d_control=1.0, pause_ms=120.0):
+        """Unlimited-length synthesis: split on sentence punctuation,
+        synthesize chunks batched, join with short pauses.
+
+        (The reference hard-truncates single-mode input at 100 characters,
+        synthesize.py:203; this is the non-truncating superset.)
+        """
+        import re
+
+        chunks = [c.strip() for c in
+                  re.split(r"(?<=[.!?;:])\s+", text.strip()) if c.strip()]
+        if not chunks:
+            return np.zeros(0, np.int16), []
+        speakers = np.full(len(chunks), speaker, np.int32)
+        wavs, out = self.synthesize(
+            chunks, speakers, p_control, e_control, d_control)
+        sr = self.preprocess_config["preprocessing"]["audio"][
+            "sampling_rate"]
+        pause = np.zeros(int(sr * pause_ms / 1000.0), np.int16)
+        pieces = []
+        for i, w in enumerate(wavs):
+            pieces.append(w)
+            if i < len(wavs) - 1:
+                pieces.append(pause)
+        return np.concatenate(pieces), chunks
+
     # -- result files ----------------------------------------------------
 
     def save_results(self, ids, out, wavs, result_path):

@@ -99,3 +99,13 @@ def test_save_results(synthesizer, tmp_path):
     synthesizer.save_results(["demo"], out, wavs, str(tmp_path))
     assert os.path.exists(tmp_path / "demo.wav")
     assert os.path.exists(tmp_path / "demo.png")
+
+
+def test_synthesize_long(synthesizer):
+    wav, chunks = synthesizer.synthesize_long(
+        "hello world. how are you? fine thanks.")
+    assert len(chunks) == 3
+    assert wav.dtype == np.int16
+    # at least the two inter-sentence pauses present
+    sr = 22050
+    assert len(wav) > 2 * int(sr * 0.12)
