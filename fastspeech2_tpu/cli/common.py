@@ -1,6 +1,5 @@
 """Shared CLI plumbing: config loading and model restoration."""
 
-import argparse
 import os
 
 import jax

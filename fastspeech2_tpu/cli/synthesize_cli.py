@@ -59,7 +59,6 @@ def main(argv=None):
     if args.mode == "single" and args.long:
         import os
 
-        from fastspeech2_tpu.audio.wav import save_wav
 
         wav, chunks = synthesizer.synthesize_long(
             args.text, args.speaker_id, args.pitch_control,

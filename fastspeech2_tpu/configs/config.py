@@ -11,7 +11,7 @@ code, unlike the reference (model/modules.py:41-46, model/fastspeech2.py:30-41).
 import dataclasses
 import json
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import yaml
 

@@ -188,6 +188,8 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     step = restore_step
     epoch = 0
     t0 = time.time()
+    t_rate = t0
+    frames_done = 0
     from fastspeech2_tpu.data.prefetch import PrefetchIterator
 
     def to_device(batch):
@@ -210,13 +212,18 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
 
+            frames_done += int(batch["mel_lens"].sum())
             if step % steps.log_step == 0:
                 vals = [float(v) for v in losses]
+                now = time.time()
+                rate = frames_done / max(now - t_rate, 1e-6)
+                frames_done, t_rate = 0, now
                 msg1 = f"Step {step}/{total_step}"
                 msg2 = ("Total Loss: {:.4f}, Mel Loss: {:.4f}, Mel PostNet "
                         "Loss: {:.4f}, Pitch Loss: {:.4f}, Energy Loss: "
                         "{:.4f}, Duration Loss: {:.4f}").format(*vals)
-                log(msg1 + ", " + msg2 + f" ({time.time() - t0:.1f}s)")
+                log(msg1 + ", " + msg2
+                    + f" ({now - t0:.1f}s, {rate:.0f} mel frames/s)")
                 logger.message(msg1 + ", " + msg2)
                 logger.scalars(step, vals)
 
