@@ -163,12 +163,15 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     log(f"Number of FastSpeech2 Parameters: {n_params}")
 
     dataset = FeatureDataset("train.txt", preprocess_config)
-    # coarse buckets: remote compiles are minutes each, so ~7% padding
-    # waste for a handful of distinct (P, T) shapes is the right trade
+    # coarse buckets by default: remote compiles are minutes each, so ~7%
+    # padding waste for a handful of distinct (P, T) shapes is the right
+    # trade; override via train.yaml `bucket: {text: .., mel: ..}`
+    bucket_cfg = train_config.get("bucket", {})
     loader = BucketedLoader(
         dataset, batch_size=optim_cfg.batch_size, group_size=4,
         shuffle=True, drop_last=True, max_mel_len=cfg.max_seq_len,
-        text_bucket=32, mel_bucket=160)
+        text_bucket=bucket_cfg.get("text", 32),
+        mel_bucket=bucket_cfg.get("mel", 160))
     val_dataset = FeatureDataset("val.txt", preprocess_config)
 
     train_step = jax.jit(

@@ -33,6 +33,7 @@ def _tiny_model_config():
 
 def _train_config(root):
     return {
+        "bucket": {"text": 8, "mel": 32},
         "path": {
             "ckpt_path": os.path.join(root, "ckpt"),
             "log_path": os.path.join(root, "log"),

@@ -66,6 +66,7 @@ def zh_workspace(tmp_path_factory):
         "vocoder": {"model": "none", "speaker": "universal"},
     }
     train = {
+        "bucket": {"text": 8, "mel": 32},
         "path": {
             "ckpt_path": os.path.join(root, "ckpt"),
             "log_path": os.path.join(root, "log"),
