@@ -146,6 +146,16 @@ class ConvFeedForward(nn.Module):
 
             backend = ("pallas" if jax.default_backend() not in ("cpu",)
                        else "xla")
+        if backend == "pallas":
+            # VMEM guard: per-row working set is the [L, d_inner] fp32
+            # hidden plus both weight tensors plus padded io tiles
+            L = x.shape[1]
+            est = (L * self.d_inner * 4
+                   + sum(k * self.d_model * self.d_inner * 2
+                         for k in self.kernel_size)
+                   + 3 * L * self.d_model * 2)
+            if est > 12 * 1024 * 1024:
+                backend = "xla"
         if deterministic and backend in ("pallas", "pallas_interpret"):
             from fastspeech2_tpu.ops.pallas_ffn import fused_conv_ffn
 

@@ -93,15 +93,26 @@ def _bwd(interpret, residuals, g):
 fused_multi_head_attention.defvjp(_fwd, _bwd)
 
 
+def _fits_vmem(L, D, dtype, budget=12 * 1024 * 1024):
+    """Conservative VMEM estimate for one grid cell: q/k/v/o tiles plus the
+    fp32 LxL score/probability matrices (double-counted for scratch)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return 4 * L * D * itemsize + 2 * L * L * 4 <= budget
+
+
 def attention_op(q, k, v, key_pad_mask, backend="auto"):
     """Select the attention implementation.
 
     backend: "auto" (pallas on TPU, XLA elsewhere), "pallas",
-    "pallas_interpret" (testing), or "xla".
+    "pallas_interpret" (testing), or "xla".  Falls back to XLA when the
+    per-(batch, head) working set would overflow VMEM (long sequences).
     """
+    L, D = q.shape[-2:]
     if backend == "auto":
         backend = ("pallas"
                    if jax.default_backend() not in ("cpu",) else "xla")
+    if backend == "pallas" and not _fits_vmem(L, D, q.dtype):
+        backend = "xla"
     if backend == "pallas":
         return fused_multi_head_attention(q, k, v, key_pad_mask)
     if backend == "pallas_interpret":
