@@ -63,11 +63,14 @@ def init_training(preprocess_config, model_config, train_config,
     )
 
     if mesh is None:
-        # the data axis must divide the global batch; idle any remainder
+        # the data axis must divide the per-micro-step batch; idle any
+        # remainder devices
         import math
 
-        n_dev = len(jax.devices())
-        data = math.gcd(OptimConfig.build_batch_size(train_config), n_dev)
+        acc = int(train_config["optimizer"].get("grad_acc_step", 1))
+        micro = max(OptimConfig.build_batch_size(train_config)
+                    // max(acc, 1), 1)
+        data = math.gcd(micro, len(jax.devices()))
         mesh = make_mesh(data=max(data, 1), model=1)
     variables, shardings = shard_variables(variables, mesh)
     state = TrainState.create(variables, optimizer, step=restore_step)
@@ -195,10 +198,28 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     frames_done = 0
     from fastspeech2_tpu.data.prefetch import PrefetchIterator
 
+    acc = optim_cfg.grad_acc_step
+    if acc > 1 and optim_cfg.batch_size % acc:
+        raise ValueError(
+            f"batch_size {optim_cfg.batch_size} must be divisible by "
+            f"grad_acc_step {acc}")
+
+    # with accumulation the batch axis moves to position 1; the data-mesh
+    # axis must follow it
+    micro_sharding = (NamedSharding(mesh, P(None, "data")) if acc > 1
+                      else batch_sharding)
+
     def to_device(batch):
+        model_batch = _model_batch(batch)
+        if acc > 1:
+            # leading micro-batch axis for the lax.scan accumulation
+            model_batch = {
+                k: v.reshape((acc, v.shape[0] // acc) + v.shape[1:])
+                for k, v in model_batch.items()
+            }
         device = {
-            k: jax.device_put(v, batch_sharding)
-            for k, v in _model_batch(batch).items()
+            k: jax.device_put(v, micro_sharding)
+            for k, v in model_batch.items()
         }
         return batch, device
 

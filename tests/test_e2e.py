@@ -132,3 +132,25 @@ def test_synthesize_cli_batch(workspace):
     result = os.path.join(root, "result")
     assert os.path.exists(os.path.join(result, "demo1.wav"))
     assert os.path.exists(os.path.join(result, "demo2.png"))
+
+
+def test_training_loop_with_grad_accumulation(workspace, tmp_path):
+    """grad_acc_step > 1 through the real loop: batches get a micro axis
+    and training proceeds (regression: the loop used to feed flat batches
+    to the accumulating step function)."""
+    root, paths, (pre, model_cfg, train_cfg) = workspace
+    import copy
+
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.training.loop import train
+
+    cfg = copy.deepcopy(train_cfg)
+    cfg["optimizer"]["grad_acc_step"] = 2
+    cfg["path"] = {k: os.path.join(str(tmp_path), k)
+                   for k in ("ckpt_path", "log_path", "result_path")}
+    cfg["step"] = dict(cfg["step"], total_step=3, log_step=1, val_step=100,
+                       synth_step=100, save_step=3)
+    state = train(pre, model_cfg, cfg, dtype=jnp.float32,
+                  log=lambda *_: None)
+    assert int(state.step) == 3
