@@ -154,3 +154,31 @@ def test_training_loop_with_grad_accumulation(workspace, tmp_path):
     state = train(pre, model_cfg, cfg, dtype=jnp.float32,
                   log=lambda *_: None)
     assert int(state.step) == 3
+
+
+def test_synthesize_cli_with_torch_ckpt(workspace, tmp_path):
+    """--torch_ckpt: run synthesis directly from a reference-format
+    .pth.tar (here produced by our own exporter)."""
+    pytest.importorskip("torch")
+    root, paths, (pre, model_cfg, train_cfg) = workspace
+    import jax
+
+    from fastspeech2_tpu.cli.common import load_model_for_inference
+    from fastspeech2_tpu.configs.config import FastSpeech2Config
+    from fastspeech2_tpu.convert.to_torch import save_torch_checkpoint
+
+    configs = (pre, model_cfg, train_cfg)
+    _, variables, cfg = load_model_for_inference(configs, restore_step=12)
+    ckpt = str(tmp_path / "export.pth.tar")
+    save_torch_checkpoint(ckpt, jax.device_get(variables), cfg)
+
+    from fastspeech2_tpu.cli.synthesize_cli import main
+
+    main([
+        "--mode", "single", "--text", "torch checkpoint roundtrip",
+        "-p", paths["preprocess"], "-m", paths["model"],
+        "-t", paths["train"], "--torch_ckpt", ckpt,
+    ])
+    result = os.path.join(root, "result")
+    assert os.path.exists(os.path.join(result,
+                                       "torch checkpoint roundtrip.wav"))
