@@ -83,7 +83,7 @@ def init_training(preprocess_config, model_config, train_config,
 
 
 def synth_one_sample(model, cfg, state, batch, preprocess_config,
-                     vocoder=None):
+                     vocoder=None, infer_fn=None):
     """First-sample synthesis artifacts for TensorBoard
     (reference utils/tools.py:109-161): a (predicted, ground-truth) mel
     figure and, when a vocoder is available, reconstructed + predicted
@@ -95,7 +95,12 @@ def synth_one_sample(model, cfg, state, batch, preprocess_config,
         plot_mel,
     )
 
-    out = jax.jit(model.apply, static_argnames=("max_mel_len", "train"))(
+    if infer_fn is None:
+        # one-off use; callers in the hot loop pass a cached jit so each
+        # synth_step reuses the compiled executable
+        infer_fn = jax.jit(model.apply,
+                           static_argnames=("max_mel_len", "train"))
+    out = infer_fn(
         state.variables(),
         jnp.asarray(batch["speakers"][:1]), jnp.asarray(batch["texts"][:1]),
         jnp.asarray(batch["src_lens"][:1]),
@@ -182,6 +187,7 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                         grad_acc_step=optim_cfg.grad_acc_step),
         donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, cfg))
+    infer_fn = jax.jit(model.apply, static_argnames=("max_mel_len", "train"))
 
     logger = TrainLogger(os.path.join(
         train_config["path"]["log_path"], "train"))
@@ -255,7 +261,7 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 try:
                     fig, wav_rec, wav_pred = synth_one_sample(
                         model, cfg, state, batch, preprocess_config,
-                        vocoder)
+                        vocoder, infer_fn=infer_fn)
                     logger.figure(
                         f"Training/step_{step}_{batch['ids'][0]}", fig)
                     sr = preprocess_config["preprocessing"]["audio"][
@@ -295,7 +301,7 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                     val_batch = next(iter(val_loader.epoch(0)))
                     fig, wav_rec, wav_pred = synth_one_sample(
                         model, cfg, state, val_batch, preprocess_config,
-                        vocoder)
+                        vocoder, infer_fn=infer_fn)
                     val_logger.figure(
                         f"Validation/step_{step}_{val_batch['ids'][0]}",
                         fig)
