@@ -80,6 +80,8 @@ class FastSpeech2Config:
     # kernels: "auto" = Pallas fused kernels on TPU, XLA elsewhere
     attention_backend: str = "auto"
     ffn_backend: str = "auto"
+    # rematerialize FFT blocks in backward (memory for FLOPs trade)
+    remat: bool = False
 
     @classmethod
     def build(cls, preprocess_config, model_config, stats=None, n_speaker=None):
@@ -135,6 +137,9 @@ class FastSpeech2Config:
             max_seq_len=model_config["max_seq_len"],
             multi_speaker=multi,
             n_speaker=n_speaker,
+            attention_backend=model_config.get("attention_backend", "auto"),
+            ffn_backend=model_config.get("ffn_backend", "auto"),
+            remat=bool(model_config.get("remat", False)),
         )
 
 

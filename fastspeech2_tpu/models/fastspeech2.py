@@ -77,6 +77,7 @@ class FastSpeech2(nn.Module):
             dtype=self.dtype,
             attention_backend=cfg.attention_backend,
             ffn_backend=cfg.ffn_backend,
+            remat=cfg.remat,
             name="encoder",
         )(texts, src_pad_mask, deterministic=deterministic)
 
@@ -121,6 +122,7 @@ class FastSpeech2(nn.Module):
             dtype=self.dtype,
             attention_backend=cfg.attention_backend,
             ffn_backend=cfg.ffn_backend,
+            remat=cfg.remat,
             name="decoder",
         )(x, mel_pad_mask, deterministic=deterministic)
 

@@ -226,6 +226,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "xla"
     ffn_backend: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src_seq, src_pad_mask, deterministic=True):
@@ -240,13 +241,17 @@ class Encoder(nn.Module):
         seq_len = src_seq.shape[1]
         pe = sinusoid_position_encoding(seq_len, self.d_model, dtype=self.dtype)
         x = emb + pe[None, :, :]
+        # deterministic passes positionally: remat static_argnums counts
+        # the module itself as arg 0
+        block_cls = (nn.remat(FFTBlock, static_argnums=(3,))
+                     if self.remat else FFTBlock)
         for i in range(self.n_layers):
-            x = FFTBlock(
+            x = block_cls(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
                 self.dropout, dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 ffn_backend=self.ffn_backend, name=f"layer_{i}",
-            )(x, src_pad_mask, deterministic=deterministic)
+            )(x, src_pad_mask, deterministic)
         return x
 
 
@@ -265,6 +270,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "xla"
     ffn_backend: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mel_pad_mask, deterministic=True,
@@ -276,11 +282,13 @@ class Decoder(nn.Module):
             seq_len = self.max_seq_len
         pe = sinusoid_position_encoding(seq_len, self.d_model, dtype=self.dtype)
         x = x + pe[None, :, :]
+        block_cls = (nn.remat(FFTBlock, static_argnums=(3,))
+                     if self.remat else FFTBlock)
         for i in range(self.n_layers):
-            x = FFTBlock(
+            x = block_cls(
                 self.d_model, self.n_head, self.d_inner, self.kernel_size,
                 self.dropout, dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 ffn_backend=self.ffn_backend, name=f"layer_{i}",
-            )(x, mel_pad_mask, deterministic=deterministic)
+            )(x, mel_pad_mask, deterministic)
         return x, mel_pad_mask

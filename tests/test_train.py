@@ -93,6 +93,38 @@ def test_grad_accumulation_matches_full_batch():
     assert np.isfinite(float(losses_acc.total))
 
 
+def test_remat_gradients_match_plain():
+    """jax.checkpoint over FFT blocks must not change gradients, only the
+    backward memory profile."""
+    cfg0 = tiny_config(encoder_dropout=0.0, decoder_dropout=0.0,
+                       vp_dropout=0.0)
+    batch = synthetic_batch(cfg0)
+    model0, variables = _init(cfg0, batch)
+    optim, _ = make_optimizer(OptimConfig(warm_up_step=100, anneal_steps=()),
+                              cfg0.encoder_hidden)
+    rng = jax.random.PRNGKey(3)
+
+    import dataclasses
+    cfg_r = dataclasses.replace(cfg0, remat=True)
+    model_r = FastSpeech2(cfg_r)
+
+    state0 = TrainState.create(variables, optim)
+    state_r = TrainState.create(variables, optim)
+    step0 = jax.jit(make_train_step(model0, cfg0, optim))
+    step_r = jax.jit(make_train_step(model_r, cfg_r, optim))
+    state0, losses0 = step0(state0, batch, rng)
+    state_r, losses_r = step_r(state_r, batch, rng)
+
+    # forward value must be unaffected by remat
+    np.testing.assert_allclose(float(losses0.total), float(losses_r.total),
+                               rtol=1e-6)
+    # grads match up to recompute rounding; Adam's eps division amplifies
+    # bitwise noise on near-zero grads, so compare post-step params loosely
+    for a, b in zip(jax.tree_util.tree_leaves(state0.params),
+                    jax.tree_util.tree_leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_eval_step_finite_and_deterministic():
     cfg = tiny_config()
     batch = synthetic_batch(cfg)
