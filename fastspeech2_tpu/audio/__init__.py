@@ -1,3 +1,4 @@
+from fastspeech2_tpu.audio.dio import dio_f0
 from fastspeech2_tpu.audio.f0 import interpolate_unvoiced, yin_f0
 from fastspeech2_tpu.audio.mel import mel_filterbank
 from fastspeech2_tpu.audio.stft import (
@@ -11,6 +12,7 @@ from fastspeech2_tpu.audio.stft import (
 from fastspeech2_tpu.audio.wav import load_wav, save_wav
 
 __all__ = [
+    "dio_f0",
     "interpolate_unvoiced",
     "yin_f0",
     "mel_filterbank",

@@ -22,7 +22,7 @@ import random
 
 import numpy as np
 
-from fastspeech2_tpu.audio import interpolate_unvoiced, yin_f0
+from fastspeech2_tpu.audio import dio_f0, interpolate_unvoiced, yin_f0
 from fastspeech2_tpu.audio.stft import MelSpectrogram
 from fastspeech2_tpu.audio.wav import load_wav
 from fastspeech2_tpu.preprocessing.textgrid import read_textgrid
@@ -84,6 +84,10 @@ class Preprocessor:
             pp["energy"]["feature"] == "phoneme_level")
         self.pitch_normalization = pp["pitch"]["normalization"]
         self.energy_normalization = pp["energy"]["normalization"]
+        # F0 estimator: "dio" = DIO+StoneMask (the reference's pyworld
+        # algorithm, preprocessor/preprocessor.py:182-187), "yin" = YIN
+        self.f0_estimator = pp["pitch"].get("estimator", "dio")
+        assert self.f0_estimator in ("dio", "yin"), self.f0_estimator
         self.mel_fn = MelSpectrogram(
             filter_length=pp["stft"]["filter_length"],
             hop_length=pp["stft"]["hop_length"],
@@ -204,7 +208,8 @@ class Preprocessor:
         if tail > 0:
             wav_padded[len(wav): len(wav) + tail] = wav[-2: -tail - 2: -1]
 
-        pitch = np.asarray(yin_f0(
+        f0_fn = dio_f0 if self.f0_estimator == "dio" else yin_f0
+        pitch = np.asarray(f0_fn(
             jnp.asarray(wav_padded), self.sampling_rate, self.hop_length))
         pitch = pitch[:total]
         if np.sum(pitch != 0) <= 1:

@@ -105,6 +105,79 @@ def test_yin_silence_unvoiced():
     assert (f0 == 0).all()
 
 
+@pytest.mark.parametrize("freq", [110.0, 220.0, 440.0])
+def test_dio_on_pure_tone(freq):
+    from fastspeech2_tpu.audio import dio_f0
+
+    sr, hop = 22050, 256
+    t = np.arange(sr * 1) / sr
+    y = 0.6 * np.sin(2 * np.pi * freq * t)
+    f0 = np.asarray(dio_f0(jnp.asarray(y), sr, hop))
+    mid = f0[10:-10]
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    # StoneMask refinement should land within 0.5% on a clean tone
+    np.testing.assert_allclose(np.median(voiced), freq, rtol=0.005)
+
+
+def test_dio_weak_fundamental():
+    """Harmonic complex with a nearly-missing fundamental: interval-based
+    DIO must still report the true F0, not a harmonic."""
+    from fastspeech2_tpu.audio import dio_f0
+
+    sr, hop = 22050, 256
+    t = np.arange(sr * 1) / sr
+    y = 0.1 * np.sin(2 * np.pi * 150 * t) + sum(
+        np.sin(2 * np.pi * 150 * k * t) / k for k in range(2, 8))
+    y = (y / np.abs(y).max()).astype(np.float32)
+    f0 = np.asarray(dio_f0(jnp.asarray(y), sr, hop))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    np.testing.assert_allclose(np.median(voiced), 150.0, rtol=0.01)
+
+
+def test_dio_vibrato_tracks():
+    from fastspeech2_tpu.audio import dio_f0
+
+    sr, hop = 22050, 256
+    t = np.arange(sr * 2) / sr
+    # 200 Hz carrier, +-10 Hz vibrato at 5 Hz
+    phase = 2 * np.pi * (200 * t - 10 / (2 * np.pi * 5)
+                         * np.cos(2 * np.pi * 5 * t))
+    y = np.sin(phase).astype(np.float32)
+    f0 = np.asarray(dio_f0(jnp.asarray(y), sr, hop))
+    frames = np.arange(len(f0)) * hop / sr
+    true = 200 + 10 * np.sin(2 * np.pi * 5 * frames)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9
+    err = np.abs(f0[voiced] - true[voiced])
+    assert err.mean() < 1.0, err.mean()
+
+
+def test_dio_silence_and_noise_unvoiced():
+    from fastspeech2_tpu.audio import dio_f0
+
+    sr, hop = 22050, 256
+    assert (np.asarray(dio_f0(jnp.zeros(sr), sr, hop)) == 0).all()
+    rng = np.random.RandomState(0)
+    noise = rng.randn(sr).astype(np.float32)
+    f0 = np.asarray(dio_f0(jnp.asarray(noise), sr, hop))
+    assert (f0 > 0).mean() < 0.1
+
+
+def test_dio_voiced_unvoiced_boundary():
+    from fastspeech2_tpu.audio import dio_f0
+
+    sr, hop = 22050, 256
+    t = np.arange(sr) / sr
+    y = np.concatenate([np.sin(2 * np.pi * 180 * t),
+                        np.zeros(sr)]).astype(np.float32)
+    f0 = np.asarray(dio_f0(jnp.asarray(y), sr, hop))
+    n1 = len(f0) // 2
+    assert (f0[: n1 - 2] > 0).mean() > 0.9
+    assert (f0[n1 + 2:] == 0).all()
+
+
 def test_interpolate_unvoiced():
     f0 = np.array([0.0, 100.0, 0.0, 0.0, 200.0, 0.0])
     out = interpolate_unvoiced(f0)
