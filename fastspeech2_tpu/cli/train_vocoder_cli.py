@@ -1,0 +1,77 @@
+"""CLI for HiFi-GAN vocoder training (capability superset — the reference
+ships only a pretrained generator, hifigan/models.py + utils/model.py:57-69).
+
+Usage:
+    python train_vocoder.py --wav_dir raw_data/LJSpeech \
+        --out_dir output/vocoder [--config hifigan_config.json] \
+        [--total_steps N] [--batch_size B]
+
+--config accepts the upstream hifigan/config.json schema (upsample rates /
+kernels / channels, learning_rate, lr_decay, segment_size, sampling_rate);
+flags override it.
+"""
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wav_dir", required=True,
+                   help="directory tree containing training .wav files")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--config", default=None,
+                   help="hifigan config.json (upstream schema)")
+    p.add_argument("--total_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--segment_size", type=int, default=None)
+    p.add_argument("--log_step", type=int, default=100)
+    p.add_argument("--save_step", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+
+    gen_cfg = {}
+    for src, dst in [("upsample_rates", "upsample_rates"),
+                     ("upsample_kernel_sizes", "upsample_kernel_sizes"),
+                     ("upsample_initial_channel", "upsample_initial_channel"),
+                     ("resblock_kernel_sizes", "resblock_kernel_sizes"),
+                     ("resblock_dilation_sizes", "resblock_dilation_sizes")]:
+        if src in cfg:
+            v = cfg[src]
+            if isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            gen_cfg[dst] = v
+
+    disc_cfg = None
+    if "discriminator" in cfg:
+        disc_cfg = {
+            k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+                if isinstance(v, list) else v)
+            for k, v in cfg["discriminator"].items()
+        }
+
+    from fastspeech2_tpu.training.vocoder import train_vocoder
+
+    return train_vocoder(
+        args.wav_dir, args.out_dir,
+        total_steps=args.total_steps or cfg.get("training_steps", 1000),
+        batch_size=args.batch_size or cfg.get("batch_size", 16),
+        segment_size=args.segment_size or cfg.get("segment_size", 8192),
+        sampling_rate=cfg.get("sampling_rate", 22050),
+        learning_rate=cfg.get("learning_rate", 2e-4),
+        lr_decay=cfg.get("lr_decay", 0.999),
+        n_mel_channels=cfg.get("num_mels", 80),
+        mel_fmax=cfg.get("fmax", 8000.0) or 8000.0,
+        generator_config=gen_cfg or None,
+        discriminator_config=disc_cfg,
+        log_step=args.log_step, save_step=args.save_step, seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

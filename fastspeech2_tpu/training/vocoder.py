@@ -1,0 +1,230 @@
+"""HiFi-GAN vocoder training: losses, two-optimizer train step, loop.
+
+Capability superset: the reference vendors only a pretrained generator
+(reference hifigan/models.py:112-174, loaded at utils/model.py:57-69) and
+ships no vocoder trainer.  This module trains the native generator from
+scratch (or fine-tunes it) with the standard HiFi-GAN objective:
+
+  L_D = sum_k E[(1 - D_k(y))^2] + E[D_k(y_hat)^2]          (LSGAN)
+  L_G = sum_k E[(1 - D_k(y_hat))^2] + 2 * L_FM + 45 * L_mel
+  L_FM = sum over all discriminator feature maps of L1(feat(y), feat(y_hat))
+  L_mel = L1(mel(y), mel(y_hat))
+
+Both updates run inside ONE jitted step (discriminator on
+stop_gradient(y_hat), then generator through the updated discriminator's
+graph is NOT needed — upstream updates D first, then G against the new D;
+we follow that order).  Data parallel: the step is pjit-shardable over the
+batch axis exactly like the acoustic train step.
+
+Training data is raw waveform segments; the generator's input mel is
+computed on device from the ground-truth segment, as in the upstream
+trainer (fine-tuning from predicted mels can substitute the mel source).
+"""
+
+import os
+import random
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from fastspeech2_tpu.audio.stft import MelSpectrogram
+from fastspeech2_tpu.audio.wav import load_wav
+from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+from fastspeech2_tpu.models.hifigan_disc import HiFiGANDiscriminators
+
+
+class VocoderTrainState(struct.PyTreeNode):
+    gen_params: Any
+    disc_params: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, gen_params, disc_params, gen_opt, disc_opt, step=0):
+        return cls(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=gen_opt.init(gen_params),
+            disc_opt_state=disc_opt.init(disc_params),
+            step=jnp.asarray(step, jnp.int32),
+        )
+
+
+def make_vocoder_optimizer(learning_rate=2e-4, betas=(0.8, 0.99),
+                           lr_decay=0.999, steps_per_epoch=1000):
+    """AdamW with the upstream per-epoch exponential decay, expressed as a
+    per-step staircase schedule."""
+    sched = optax.exponential_decay(
+        init_value=learning_rate, transition_steps=steps_per_epoch,
+        decay_rate=lr_decay, staircase=True)
+    return optax.adamw(sched, b1=betas[0], b2=betas[1]), sched
+
+
+def discriminator_loss(real_scores, fake_scores):
+    loss = 0.0
+    for dr, dg in zip(real_scores, fake_scores):
+        loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def generator_adv_loss(fake_scores):
+    loss = 0.0
+    for dg in fake_scores:
+        loss = loss + jnp.mean((1.0 - dg) ** 2)
+    return loss
+
+
+def feature_loss(real_fmaps, fake_fmaps):
+    loss = 0.0
+    for fr_list, fg_list in zip(real_fmaps, fake_fmaps):
+        for fr, fg in zip(fr_list, fg_list):
+            loss = loss + jnp.mean(jnp.abs(fr - fg))
+    return 2.0 * loss
+
+
+def make_vocoder_train_step(gen: HiFiGANGenerator,
+                            disc: HiFiGANDiscriminators,
+                            mel_fn: MelSpectrogram,
+                            gen_opt, disc_opt,
+                            mel_weight: float = 45.0):
+    hop = mel_fn.hop_length
+
+    def mel_of(wav, n_frames):
+        m, _ = mel_fn(wav)                       # [B, n_mels, F+1]
+        return m[:, :, :n_frames]
+
+    def step(state: VocoderTrainState, wav: jnp.ndarray):
+        """wav: [B, S] ground-truth segments, S a multiple of hop."""
+        n_frames = wav.shape[1] // hop
+        mel_in = mel_of(wav, n_frames).transpose(0, 2, 1)  # [B, F, n_mels]
+
+        y_hat = gen.apply({"params": state.gen_params}, mel_in)
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        # ---- discriminator update (y_hat detached) ----
+        def d_loss_fn(d_params):
+            _, real_scores = disc.apply({"params": d_params}, wav)
+            _, fake_scores = disc.apply({"params": d_params}, y_hat_sg)
+            return discriminator_loss(real_scores, fake_scores)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_updates, disc_opt_state = disc_opt.update(
+            d_grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---- generator update (through the updated discriminator) ----
+        real_fmaps, _ = disc.apply({"params": disc_params}, wav)
+        mel_target = mel_of(wav, n_frames)
+
+        def g_loss_fn(g_params):
+            y_g = gen.apply({"params": g_params}, mel_in)
+            fake_fmaps, fake_scores = disc.apply({"params": disc_params}, y_g)
+            adv = generator_adv_loss(fake_scores)
+            fm = feature_loss(real_fmaps, fake_fmaps)
+            mel_l1 = jnp.mean(jnp.abs(mel_of(y_g, n_frames) - mel_target))
+            total = adv + fm + mel_weight * mel_l1
+            return total, (adv, fm, mel_l1)
+
+        (g_loss, (adv, fm, mel_l1)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.gen_params)
+        g_updates, gen_opt_state = gen_opt.update(
+            g_grads, state.gen_opt_state, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = state.replace(
+            gen_params=gen_params, disc_params=disc_params,
+            gen_opt_state=gen_opt_state, disc_opt_state=disc_opt_state,
+            step=state.step + 1)
+        losses = {"disc": d_loss, "gen": g_loss, "gen_adv": adv,
+                  "gen_fm": fm, "gen_mel": mel_l1}
+        return new_state, losses
+
+    return step
+
+
+class SegmentSampler:
+    """Random fixed-length waveform segments from a corpus directory laid
+    out like the raw preprocessing corpus (<root>/<speaker>/*.wav)."""
+
+    def __init__(self, wav_dir, segment_size=8192, sampling_rate=22050,
+                 seed=0):
+        self.segment_size = segment_size
+        self.paths = []
+        for dirpath, _, files in os.walk(wav_dir):
+            for f in sorted(files):
+                if f.endswith(".wav"):
+                    self.paths.append(os.path.join(dirpath, f))
+        if not self.paths:
+            raise FileNotFoundError(f"no .wav under {wav_dir}")
+        self.sampling_rate = sampling_rate
+        self._rng = random.Random(seed)
+        self._cache = {}
+
+    def _load(self, path):
+        if path not in self._cache:
+            wav, _ = load_wav(path, target_sr=self.sampling_rate)
+            self._cache[path] = np.asarray(wav, np.float32)
+        return self._cache[path]
+
+    def sample(self, batch_size):
+        out = np.zeros((batch_size, self.segment_size), np.float32)
+        for b in range(batch_size):
+            wav = self._load(self._rng.choice(self.paths))
+            if len(wav) > self.segment_size:
+                start = self._rng.randrange(len(wav) - self.segment_size)
+                out[b] = wav[start:start + self.segment_size]
+            else:
+                out[b, :len(wav)] = wav
+        return out
+
+
+def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
+                  segment_size=8192, sampling_rate=22050,
+                  learning_rate=2e-4, lr_decay=0.999, steps_per_epoch=1000,
+                  log_step=100, save_step=1000, generator_config=None,
+                  discriminator_config=None,
+                  n_mel_channels=80, mel_fmax=8000.0, seed=0,
+                  log=print):
+    """Train (or smoke-train) the native HiFi-GAN generator."""
+    from fastspeech2_tpu.training.checkpoint import save_checkpoint
+
+    gen = HiFiGANGenerator(**(generator_config or {}),
+                           n_mel_channels=n_mel_channels)
+    disc = HiFiGANDiscriminators(**(discriminator_config or {}))
+    mel_fn = MelSpectrogram(
+        hop_length=256, n_mel_channels=n_mel_channels,
+        sampling_rate=sampling_rate, mel_fmax=mel_fmax)
+
+    sampler = SegmentSampler(wav_dir, segment_size, sampling_rate, seed)
+    rng = jax.random.PRNGKey(seed)
+    seg0 = jnp.asarray(sampler.sample(batch_size))
+    mel0 = mel_fn(seg0)[0][:, :, : segment_size // 256].transpose(0, 2, 1)
+    gen_params = gen.init(rng, mel0)["params"]
+    disc_params = disc.init(rng, seg0)["params"]
+
+    gen_opt, _ = make_vocoder_optimizer(
+        learning_rate, lr_decay=lr_decay, steps_per_epoch=steps_per_epoch)
+    disc_opt, _ = make_vocoder_optimizer(
+        learning_rate, lr_decay=lr_decay, steps_per_epoch=steps_per_epoch)
+    state = VocoderTrainState.create(gen_params, disc_params,
+                                     gen_opt, disc_opt)
+    step_fn = jax.jit(
+        make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt),
+        donate_argnums=0)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(1, total_steps + 1):
+        wav = jnp.asarray(sampler.sample(batch_size))
+        state, losses = step_fn(state, wav)
+        if i % log_step == 0 or i == total_steps:
+            vals = {k: float(v) for k, v in losses.items()}
+            log(f"Vocoder step {i}/{total_steps}: "
+                + ", ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+        if i % save_step == 0 or i == total_steps:
+            save_checkpoint(out_dir, state, step=i)
+    return state

@@ -1,0 +1,161 @@
+"""HiFi-GAN vocoder training tests: discriminator shapes/fold semantics,
+loss functions, a few optimization steps (mel loss must drop), and the CLI
+entry point.  Tiny generator/discriminator configs keep CPU compile time
+sane."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.audio.stft import MelSpectrogram
+from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+from fastspeech2_tpu.models.hifigan_disc import (
+    HiFiGANDiscriminators,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    PeriodDiscriminator,
+)
+from fastspeech2_tpu.training.vocoder import (
+    VocoderTrainState,
+    discriminator_loss,
+    feature_loss,
+    generator_adv_loss,
+    make_vocoder_optimizer,
+    make_vocoder_train_step,
+)
+
+SEG = 2048  # 8 mel frames at hop 256
+
+
+def _tiny_disc():
+    return HiFiGANDiscriminators(
+        periods=(2, 3), n_scales=2, period_channels=(4, 8),
+        scale_layers=((8, 15, 1, 1), (16, 41, 4, 4), (16, 5, 1, 1)))
+
+
+def _tiny_gen():
+    return HiFiGANGenerator(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), n_mel_channels=8)
+
+
+def _mel_fn():
+    return MelSpectrogram(n_mel_channels=8)
+
+
+def test_period_discriminator_fold():
+    """Waveform not divisible by the period must be reflect-padded, and the
+    conv stack must produce one score map plus one fmap per layer."""
+    d = PeriodDiscriminator(period=3, channels=(4, 8))
+    y = jnp.asarray(np.random.RandomState(0).randn(2, 1000), jnp.float32)
+    variables = d.init(jax.random.PRNGKey(0), y)
+    fmap, score = d.apply(variables, y)
+    assert len(fmap) == 3            # 2 conv layers + conv_post
+    assert score.shape[0] == 2 and score.ndim == 2
+
+
+def test_multi_discriminators_outputs():
+    y = jnp.asarray(np.random.RandomState(0).randn(2, SEG), jnp.float32)
+    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    v = mpd.init(jax.random.PRNGKey(0), y)
+    fmaps, scores = mpd.apply(v, y)
+    assert len(fmaps) == 2 and len(scores) == 2
+
+    msd = MultiScaleDiscriminator(n_scales=2)
+    v = msd.init(jax.random.PRNGKey(0), y)
+    fmaps, scores = msd.apply(v, y)
+    assert len(fmaps) == 2 and len(scores) == 2
+    # second scale is average-pooled 2x
+    assert scores[1].shape[1] <= scores[0].shape[1]
+
+
+def test_gan_losses_at_optimum():
+    """At D(real)=1, D(fake)=0 the discriminator loss is 0; the generator
+    adversarial loss is 0 at D(fake)=1."""
+    one = [jnp.ones((2, 5))]
+    zero = [jnp.zeros((2, 5))]
+    assert float(discriminator_loss(one, zero)) == 0.0
+    assert float(generator_adv_loss(one)) == 0.0
+    assert float(generator_adv_loss(zero)) == 1.0
+    f = [[jnp.ones((2, 3))]]
+    assert float(feature_loss(f, f)) == 0.0
+    f2 = [[jnp.zeros((2, 3))]]
+    assert float(feature_loss(f, f2)) == 2.0
+
+
+def test_vocoder_train_step_losses_improve():
+    rng = jax.random.PRNGKey(0)
+    gen, disc, mel_fn = _tiny_gen(), _tiny_disc(), _mel_fn()
+
+    t = np.arange(SEG) / 22050.0
+    base = np.stack([
+        0.5 * np.sin(2 * np.pi * 220 * t),
+        0.5 * np.sin(2 * np.pi * 330 * t),
+    ]).astype(np.float32)
+    wav = jnp.asarray(base)
+
+    mel0 = mel_fn(wav)[0][:, :, : SEG // 256].transpose(0, 2, 1)
+    gen_params = gen.init(rng, mel0)["params"]
+    disc_params = disc.init(rng, wav)["params"]
+    gen_opt, _ = make_vocoder_optimizer(2e-4)
+    disc_opt, _ = make_vocoder_optimizer(2e-4)
+    state = VocoderTrainState.create(gen_params, disc_params,
+                                     gen_opt, disc_opt)
+    step_fn = jax.jit(make_vocoder_train_step(gen, disc, mel_fn,
+                                              gen_opt, disc_opt),
+                      donate_argnums=0)
+    first_mel = None
+    for i in range(30):
+        state, losses = step_fn(state, wav)
+        if i == 0:
+            first_mel = float(losses["gen_mel"])
+        assert all(np.isfinite(float(v)) for v in losses.values())
+    last_mel = float(losses["gen_mel"])
+    assert int(state.step) == 30
+    assert last_mel < first_mel, (first_mel, last_mel)
+
+
+def test_train_vocoder_cli(tmp_path):
+    """End-to-end through the CLI: wav corpus -> steps -> checkpoint."""
+    import json
+
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.cli.train_vocoder_cli import main
+
+    wav_dir = tmp_path / "wavs" / "spk0"
+    os.makedirs(wav_dir)
+    t = np.arange(22050) / 22050.0
+    for i, f in enumerate([220.0, 330.0]):
+        save_wav(str(wav_dir / f"u{i}.wav"),
+                 (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32), 22050)
+
+    cfg = {
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "segment_size": 2048,
+        "num_mels": 8,
+        "learning_rate": 2e-4,
+        "batch_size": 2,
+        "discriminator": {
+            "periods": [2, 3], "n_scales": 2,
+            "period_channels": [4, 8],
+            "scale_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]],
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    state = main([
+        "--wav_dir", str(tmp_path / "wavs"),
+        "--out_dir", str(tmp_path / "ckpt"),
+        "--config", str(cfg_path),
+        "--total_steps", "3", "--log_step", "1", "--save_step", "3",
+    ])
+    assert int(state.step) == 3
+    assert os.path.isdir(tmp_path / "ckpt" / "3")
