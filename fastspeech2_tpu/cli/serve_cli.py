@@ -1,0 +1,70 @@
+"""CLI for the batched TTS HTTP server (capability superset — the
+reference has no serving layer).
+
+Usage:
+    python serve.py -p config/LJSpeech/preprocess.yaml \
+        -m config/LJSpeech/model.yaml -t config/LJSpeech/train.yaml \
+        --restore_step 900000 [--port 8000] [--max_batch_size 16] \
+        [--max_wait_ms 20]
+
+Then:  curl -X POST localhost:8000/synthesize \
+         -d '{"text": "hello world"}' -o out.wav
+"""
+
+import argparse
+
+from fastspeech2_tpu.cli.common import (
+    add_config_args,
+    dtype_from_flag,
+    load_model_for_inference,
+    read_configs,
+)
+
+
+def build_server(args):
+    configs = read_configs(args)
+    preprocess_config, model_config, _ = configs
+    model, variables, cfg = load_model_for_inference(
+        configs, args.restore_step, args.torch_ckpt,
+        dtype_from_flag(args.dtype))
+
+    from fastspeech2_tpu.serving import BatchingSynthesizer, TTSServer
+    from fastspeech2_tpu.synthesis import Synthesizer, get_vocoder
+
+    vocoder = get_vocoder(model_config, preprocess_config,
+                          args.vocoder_ckpt)
+    synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
+                              vocoder=vocoder)
+    batcher = BatchingSynthesizer(
+        synthesizer, max_batch_size=args.max_batch_size,
+        max_wait_ms=args.max_wait_ms)
+    sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
+    return TTSServer(batcher, sr, host=args.host, port=args.port)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--restore_step", type=int, default=0)
+    add_config_args(parser)
+    parser.add_argument("--torch_ckpt", type=str, default=None)
+    parser.add_argument("--vocoder_ckpt", type=str, default=None)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch_size", type=int, default=16)
+    parser.add_argument("--max_wait_ms", type=float, default=20.0)
+    args = parser.parse_args(argv)
+
+    server = build_server(args)
+    print(f"Serving TTS on {args.host}:{server.port} "
+          f"(max_batch_size={args.max_batch_size}, "
+          f"max_wait_ms={args.max_wait_ms})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Batched TTS serving daemon (capability superset of the reference).
+
+The synthesis pipeline already runs text->wav as one fused TPU dispatch
+per batch (synthesis/pipeline.py); serving throughput then hinges on
+filling batches.  `BatchingSynthesizer` coalesces concurrent requests:
+callers enqueue (text, speaker, controls) and block on a future; a single
+dispatcher thread drains the queue, groups requests by control ratios
+(control scalars are traced, so different ratios share one compiled
+executable — they just can't share one batch because controls are
+per-batch scalars), pads each group to the text bucket, and runs one
+fused dispatch per group.
+
+`TTSServer` wraps that in a stdlib ThreadingHTTPServer:
+
+  POST /synthesize   {"text": "...", "speaker": 0, "pitch_control": 1.0,
+                      "energy_control": 1.0, "duration_control": 1.0}
+                     -> audio/wav bytes (RIFF, int16, corpus sample rate)
+  GET  /healthz      -> {"status": "ok"}
+  GET  /stats        -> {"requests": N, "batches": M, "mean_batch": ...}
+
+No external dependencies; everything is stdlib + the existing pipeline.
+"""
+
+import json
+import queue
+import struct
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def wav_bytes(wav_int16, sampling_rate):
+    """int16 numpy array -> RIFF/WAVE file bytes (mono, PCM16)."""
+    data = wav_int16.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                                 sampling_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+class _Request:
+    __slots__ = ("text", "speaker", "controls", "event", "result", "error")
+
+    def __init__(self, text, speaker, controls):
+        self.text = text
+        self.speaker = speaker
+        self.controls = controls
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class BatchingSynthesizer:
+    """Thread-safe request coalescing around a Synthesizer.
+
+    max_batch_size bounds the padded batch; max_wait_ms is how long the
+    dispatcher lingers after the first request of a batch to let
+    co-arriving requests join it.
+    """
+
+    def __init__(self, synthesizer, max_batch_size=16, max_wait_ms=20.0):
+        self.synthesizer = synthesizer
+        self.max_batch_size = max_batch_size
+        self.max_wait_ms = max_wait_ms
+        self._queue = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.n_requests = 0
+        self.n_batches = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- client side ----------------------------------------------------
+    def synthesize(self, text, speaker=0, p_control=1.0, e_control=1.0,
+                   d_control=1.0, timeout=120.0):
+        """Blocking: returns the trimmed int16 waveform for one utterance."""
+        req = _Request(text, int(speaker),
+                       (float(p_control), float(e_control),
+                        float(d_control)))
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("synthesis timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -- dispatcher -----------------------------------------------------
+    def _drain(self):
+        """Collect up to max_batch_size requests, waiting max_wait_ms after
+        the first arrival for stragglers."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
+        while len(batch) < self.max_batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)   # re-signal stop after this batch
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if batch is None:
+                return
+            # group by control ratios (controls are per-batch scalars)
+            groups = {}
+            for req in batch:
+                groups.setdefault(req.controls, []).append(req)
+            for controls, reqs in groups.items():
+                self._dispatch(controls, reqs)
+
+    def _dispatch(self, controls, reqs):
+        p, e, d = controls
+        try:
+            wavs, _ = self.synthesizer.synthesize(
+                [r.text for r in reqs],
+                speakers=[r.speaker for r in reqs],
+                p_control=p, e_control=e, d_control=d)
+            if wavs is None:
+                raise RuntimeError(
+                    "synthesizer has no vocoder; serving needs one")
+            with self._stats_lock:
+                self.n_requests += len(reqs)
+                self.n_batches += 1
+            for r, w in zip(reqs, wavs):
+                r.result = w
+                r.event.set()
+        except Exception as exc:           # surface to every waiter
+            for r in reqs:
+                r.error = exc
+                r.event.set()
+
+    def stop(self):
+        self._stop.set()
+        self._queue.put(None)
+        self._thread.join(timeout=5)
+
+    def stats(self):
+        with self._stats_lock:
+            n_req, n_bat = self.n_requests, self.n_batches
+        return {
+            "requests": n_req,
+            "batches": n_bat,
+            "mean_batch": (n_req / n_bat) if n_bat else 0.0,
+        }
+
+
+class TTSServer:
+    """HTTP front end over a BatchingSynthesizer."""
+
+    def __init__(self, batching_synthesizer, sampling_rate, host="127.0.0.1",
+                 port=0):
+        self.batcher = batching_synthesizer
+        self.sampling_rate = sampling_rate
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):   # quiet
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._json(200, server.batcher.stats())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/synthesize":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    text = payload["text"]
+                    if not isinstance(text, str) or not text.strip():
+                        raise ValueError("'text' must be a non-empty string")
+                except (ValueError, KeyError, json.JSONDecodeError) as exc:
+                    self._json(400, {"error": str(exc)})
+                    return
+                try:
+                    wav = server.batcher.synthesize(
+                        text,
+                        speaker=payload.get("speaker", 0),
+                        p_control=payload.get("pitch_control", 1.0),
+                        e_control=payload.get("energy_control", 1.0),
+                        d_control=payload.get("duration_control", 1.0),
+                    )
+                except Exception as exc:
+                    self._json(500, {"error": str(exc)})
+                    return
+                body = wav_bytes(wav, server.sampling_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = None
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.batcher.stop()

@@ -1,0 +1,182 @@
+"""Serving-layer tests: request coalescing, the HTTP API (driven through a
+real socket), error paths, and stats."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.models import FastSpeech2
+from fastspeech2_tpu.serving import BatchingSynthesizer, TTSServer
+from fastspeech2_tpu.serving.server import wav_bytes
+from fastspeech2_tpu.synthesis import HiFiGANVocoder, Synthesizer
+
+from helpers import tiny_config
+
+
+@pytest.fixture(scope="module")
+def synthesizer():
+    cfg = tiny_config()
+    model = FastSpeech2(cfg)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1,), jnp.int32), jnp.ones((1, 8), jnp.int32),
+        jnp.asarray([8]), max_mel_len=16, train=False)
+    vocoder = HiFiGANVocoder(config={
+        "upsample_rates": [4, 4], "upsample_kernel_sizes": [8, 8],
+        "upsample_initial_channel": 32, "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]], "num_mels": cfg.n_mel_channels})
+    preprocess_config = {
+        "path": {"preprocessed_path": "/nonexistent",
+                 "lexicon_path": "/nonexistent"},
+        "preprocessing": {
+            "text": {"text_cleaners": ["english_cleaners"],
+                     "language": "en"},
+            "audio": {"sampling_rate": 22050, "max_wav_value": 32768.0},
+            "stft": {"hop_length": 16},
+            "pitch": {"feature": "phoneme_level"},
+            "energy": {"feature": "phoneme_level"},
+            "mel": {"n_mel_channels": cfg.n_mel_channels},
+        },
+    }
+    return Synthesizer(model, variables, cfg, preprocess_config,
+                       vocoder=vocoder, max_mel_len=64)
+
+
+def test_wav_bytes_riff():
+    wav = (np.sin(np.linspace(0, 20, 1000)) * 10000).astype(np.int16)
+    b = wav_bytes(wav, 22050)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert len(b) == 44 + 2000
+
+
+def test_batching_synthesizer_coalesces(synthesizer):
+    batcher = BatchingSynthesizer(synthesizer, max_batch_size=8,
+                                  max_wait_ms=200.0)
+    try:
+        results = {}
+        errors = []
+
+        def call(i):
+            try:
+                results[i] = batcher.synthesize(
+                    ["hello world", "good morning", "testing"][i % 3])
+            except Exception as exc:       # pragma: no cover
+                errors.append(exc)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors
+        assert len(results) == 6
+        for wav in results.values():
+            assert wav.dtype == np.int16 and len(wav) > 0
+        stats = batcher.stats()
+        assert stats["requests"] == 6
+        # co-arriving same-control requests must share batches
+        assert stats["batches"] < 6, stats
+    finally:
+        batcher.stop()
+
+
+def test_batching_groups_by_controls(synthesizer):
+    batcher = BatchingSynthesizer(synthesizer, max_batch_size=8,
+                                  max_wait_ms=200.0)
+    try:
+        results = {}
+
+        def call(i, d):
+            results[i] = batcher.synthesize("hello", d_control=d)
+
+        threads = [threading.Thread(target=call, args=(i, 1.0 + 0.2 * (i % 2)))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 4
+        for wav in results.values():
+            assert wav.dtype == np.int16 and len(wav) > 0
+        # two distinct control tuples cannot share a batch: at least two
+        # dispatches, but fewer than one per request when they co-arrive
+        stats = batcher.stats()
+        assert stats["requests"] == 4
+        assert stats["batches"] >= 2
+    finally:
+        batcher.stop()
+
+
+@pytest.fixture(scope="module")
+def server(synthesizer):
+    batcher = BatchingSynthesizer(synthesizer, max_batch_size=8,
+                                  max_wait_ms=20.0)
+    srv = TTSServer(batcher, 22050, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def test_http_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_http_synthesize_returns_wav(server):
+    req = urllib.request.Request(
+        _url(server, "/synthesize"),
+        data=json.dumps({"text": "hello world"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    assert body[:4] == b"RIFF"
+    n_samples = (len(body) - 44) // 2
+    assert n_samples > 0
+
+
+def test_http_bad_requests(server):
+    # missing text
+    req = urllib.request.Request(
+        _url(server, "/synthesize"), data=b"{}",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # malformed json
+    req = urllib.request.Request(
+        _url(server, "/synthesize"), data=b"{not json",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # empty text
+    req = urllib.request.Request(
+        _url(server, "/synthesize"),
+        data=json.dumps({"text": "   "}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=30)
+    assert e.value.code == 404
+
+
+def test_http_stats(server):
+    with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
+        stats = json.loads(r.read())
+    assert set(stats) == {"requests", "batches", "mean_batch"}
