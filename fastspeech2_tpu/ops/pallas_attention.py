@@ -8,9 +8,13 @@ eliminating the HBM round-trips XLA's unfused lowering makes for the score
 and probability tensors.  Numerics match fastspeech2_tpu.ops.attention
 (fp32 scores/softmax, -1e9 key masking).
 
-The backward pass is the XLA reference implementation via jax.custom_vjp —
-recomputed from saved inputs, which for these sizes is cheaper than saving
-probabilities.
+The backward pass is also a fused Pallas kernel: probabilities are
+recomputed in VMEM from the saved inputs (one extra QK^T), then
+dV = P^T g, dP = g V^T, dS = P (dP - rowsum(dP o P)) scale, dQ = dS K,
+dK = dS^T Q — five MXU matmuls per (batch, head) with no HBM round-trips
+for P/dP/dS.  When the backward working set would overflow VMEM the op
+falls back to the XLA recompute VJP (and to an unfused XLA forward when
+even the forward tile does not fit).
 """
 
 import functools
@@ -71,6 +75,75 @@ def _pallas_forward(q, k, v, key_pad_mask, interpret=False):
     )(q, k, v, maskf)
 
 
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0, 0]                      # [L, D]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    mask = mask_ref[0, 0]                # [L] float, 1.0 = padded key
+    g = g_ref[0, 0]                      # [L, D]
+
+    # recompute probabilities in VMEM (cheaper than streaming P from HBM)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    scores = jnp.where(mask[None, :] > 0.5, _NEG_INF, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)          # [L, L] fp32
+
+    gf = g.astype(jnp.float32)
+    # dV = P^T g
+    dv = jax.lax.dot_general(
+        p, gf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dP = g V^T
+    dp = jax.lax.dot_general(
+        gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # softmax VJP: dS = P * (dP - rowsum(dP * P)); masked cols have P = 0
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds * scale
+    dq = jnp.dot(ds, k.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_backward(q, k, v, key_pad_mask, g, interpret=False):
+    B, H, L, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    maskf = key_pad_mask.astype(jnp.float32)[:, None, :]
+    kernel = functools.partial(_mha_bwd_kernel, scale=scale)
+    qkv_spec = pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, 1, L), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec,
+        ],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, L, D), q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, maskf, g)
+
+
+def _bwd_fits_vmem(L, D, dtype, budget=12 * 1024 * 1024):
+    """q/k/v/g + dq/dk/dv tiles plus P, dP, dS fp32 [L, L] temps."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return 7 * L * D * itemsize + 3 * L * L * 4 <= budget
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_multi_head_attention(q, k, v, key_pad_mask, interpret=False):
     """Drop-in replacement for ops.attention.multi_head_attention on TPU."""
@@ -84,6 +157,11 @@ def _fwd(q, k, v, key_pad_mask, interpret):
 
 def _bwd(interpret, residuals, g):
     q, k, v, key_pad_mask = residuals
+    L, D = q.shape[-2:]
+    if interpret or _bwd_fits_vmem(L, D, q.dtype):
+        dq, dk, dv = _pallas_backward(q, k, v, key_pad_mask, g,
+                                      interpret=interpret)
+        return dq, dk, dv, None
     _, vjp = jax.vjp(
         lambda q, k, v: _xla_mha(q, k, v, key_pad_mask), q, k, v)
     dq, dk, dv = vjp(g)
