@@ -1,0 +1,92 @@
+"""Export teacher-forced predicted mels for vocoder fine-tuning.
+
+Runs the trained acoustic model over a preprocessed corpus split with
+ground-truth durations/pitch/energy (so predicted mel frame i aligns with
+ground-truth waveform samples [i*hop, (i+1)*hop)) and writes
+<preprocessed_path>/mel_pred/<speaker>-mel-<basename>.npy files shaped
+[T, n_mels].  This is the standard HiFi-GAN fine-tuning recipe: train the
+vocoder on the acoustic model's actual output distribution instead of
+ground-truth mels.
+
+Usage:
+    python export_mels.py -p ... -m ... -t ... --restore_step N \
+        [--split train.txt] [--batch_size 16]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from fastspeech2_tpu.cli.common import (
+    add_config_args,
+    dtype_from_flag,
+    load_model_for_inference,
+    read_configs,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--restore_step", type=int, default=0)
+    add_config_args(parser)
+    parser.add_argument("--torch_ckpt", type=str, default=None)
+    parser.add_argument("--split", default="train.txt")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32")
+    args = parser.parse_args(argv)
+
+    configs = read_configs(args)
+    preprocess_config, model_config, train_config = configs
+    model, variables, cfg = load_model_for_inference(
+        configs, args.restore_step, args.torch_ckpt,
+        dtype_from_flag(args.dtype))
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.data.dataset import FeatureDataset, collate_batch
+
+    dataset = FeatureDataset(args.split, preprocess_config)
+    out_dir = os.path.join(
+        preprocess_config["path"]["preprocessed_path"], "mel_pred")
+    os.makedirs(out_dir, exist_ok=True)
+
+    bucket = train_config.get("bucket", {})
+    text_bucket = int(bucket.get("text", 32))
+    mel_bucket = int(bucket.get("mel", 160))
+
+    @jax.jit
+    def forward(speakers, texts, src_lens, mels, mel_lens, p, e, d):
+        out = model.apply(
+            variables, speakers, texts, src_lens, mels, mel_lens,
+            max_mel_len=mels.shape[1], p_targets=p, e_targets=e,
+            d_targets=d, train=False)
+        return out.postnet_mel
+
+    n = len(dataset)
+    written = 0
+    for start in range(0, n, args.batch_size):
+        samples = [dataset[i] for i in range(
+            start, min(start + args.batch_size, n))]
+        batch = collate_batch(samples, text_bucket, mel_bucket,
+                              max_mel_len=cfg.max_seq_len)
+        mel_pred = np.asarray(forward(
+            jnp.asarray(batch["speakers"]), jnp.asarray(batch["texts"]),
+            jnp.asarray(batch["src_lens"]), jnp.asarray(batch["mels"]),
+            jnp.asarray(batch["mel_lens"]),
+            jnp.asarray(batch["pitches"]), jnp.asarray(batch["energies"]),
+            jnp.asarray(batch["durations"])), np.float32)
+        for b, s in enumerate(samples):
+            T = int(batch["mel_lens"][b])
+            spk = dataset.speaker[start + b]
+            np.save(os.path.join(out_dir, f"{spk}-mel-{s['id']}.npy"),
+                    mel_pred[b, :T])
+            written += 1
+    print(f"Wrote {written} predicted mels to {out_dir}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

@@ -17,9 +17,15 @@ import json
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--wav_dir", required=True,
-                   help="directory tree containing training .wav files")
+    p.add_argument("--wav_dir", default=None,
+                   help="directory tree containing training .wav files "
+                        "(from-scratch mode)")
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--finetune_from", default=None,
+                   help="preprocessed corpus path: fine-tune on aligned "
+                        "(GT wav, mel) pairs (needs save_trimmed_wav at "
+                        "preprocess time; 'pred' mels from export_mels.py)")
+    p.add_argument("--mel_source", choices=["pred", "gt"], default="pred")
     p.add_argument("--config", default=None,
                    help="hifigan config.json (upstream schema)")
     p.add_argument("--total_steps", type=int, default=None)
@@ -29,6 +35,8 @@ def main(argv=None):
     p.add_argument("--save_step", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.wav_dir is None and args.finetune_from is None:
+        p.error("one of --wav_dir or --finetune_from is required")
 
     cfg = {}
     if args.config:
@@ -69,6 +77,8 @@ def main(argv=None):
         mel_fmax=cfg.get("fmax", 8000.0) or 8000.0,
         generator_config=gen_cfg or None,
         discriminator_config=disc_cfg,
+        finetune_from=args.finetune_from,
+        mel_source=args.mel_source,
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

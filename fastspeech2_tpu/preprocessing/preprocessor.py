@@ -88,6 +88,10 @@ class Preprocessor:
         # algorithm, preprocessor/preprocessor.py:182-187), "yin" = YIN
         self.f0_estimator = pp["pitch"].get("estimator", "dio")
         assert self.f0_estimator in ("dio", "yin"), self.f0_estimator
+        # optionally persist the silence-trimmed waveform (frame-aligned to
+        # the mel) for vocoder training/fine-tuning
+        self.save_trimmed_wav = bool(
+            pp["audio"].get("save_trimmed_wav", False))
         self.mel_fn = MelSpectrogram(
             filter_length=pp["stft"]["filter_length"],
             hop_length=pp["stft"]["hop_length"],
@@ -103,7 +107,10 @@ class Preprocessor:
     def build_from_path(self):
         import jax.numpy as jnp
 
-        for sub in ["mel", "pitch", "energy", "duration"]:
+        subdirs = ["mel", "pitch", "energy", "duration"]
+        if self.save_trimmed_wav:
+            subdirs.append("wav")
+        for sub in subdirs:
             os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
 
         out = []
@@ -235,6 +242,15 @@ class Preprocessor:
                              f"{speaker}-energy-{basename}.npy"), energy)
         np.save(os.path.join(self.out_dir, "mel",
                              f"{speaker}-mel-{basename}.npy"), mel.T)
+        if self.save_trimmed_wav:
+            # exactly total*hop samples so wav[i*hop:(i+1)*hop] pairs with
+            # mel frame i during vocoder (fine-)tuning
+            n_samples = total * self.hop_length
+            aligned = np.zeros(n_samples, np.float32)
+            src = np.asarray(wav[:n_samples], np.float32)
+            aligned[: len(src)] = src
+            np.save(os.path.join(self.out_dir, "wav",
+                                 f"{speaker}-wav-{basename}.npy"), aligned)
 
         return (
             "|".join([basename, speaker, text, raw_text]),

@@ -91,17 +91,26 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
                             disc: HiFiGANDiscriminators,
                             mel_fn: MelSpectrogram,
                             gen_opt, disc_opt,
-                            mel_weight: float = 45.0):
+                            mel_weight: float = 45.0,
+                            external_mel: bool = False):
+    """external_mel=False: the generator input mel is computed on device
+    from the ground-truth segment (from-scratch training).  True: the step
+    takes (wav, mel_in) — e.g. acoustic-model-predicted mels for
+    fine-tuning — while GT wav still anchors the GAN and mel losses."""
     hop = mel_fn.hop_length
 
     def mel_of(wav, n_frames):
         m, _ = mel_fn(wav)                       # [B, n_mels, F+1]
         return m[:, :, :n_frames]
 
-    def step(state: VocoderTrainState, wav: jnp.ndarray):
-        """wav: [B, S] ground-truth segments, S a multiple of hop."""
+    def step(state: VocoderTrainState, wav: jnp.ndarray, mel=None):
+        """wav: [B, S] ground-truth segments, S a multiple of hop;
+        mel (external_mel only): [B, S//hop, n_mels] generator input."""
         n_frames = wav.shape[1] // hop
-        mel_in = mel_of(wav, n_frames).transpose(0, 2, 1)  # [B, F, n_mels]
+        if external_mel:
+            mel_in = mel
+        else:
+            mel_in = mel_of(wav, n_frames).transpose(0, 2, 1)  # [B,F,n_mels]
 
         y_hat = gen.apply({"params": state.gen_params}, mel_in)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
@@ -147,6 +156,64 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
     return step
 
 
+class FinetuneSampler:
+    """Aligned (wav, mel) segment pairs from a preprocessed corpus.
+
+    Requires `preprocessing.audio.save_trimmed_wav: true` at preprocess
+    time (wav/<spk>-wav-<base>.npy, exactly n_frames*hop samples) and,
+    for mel_source="pred", an export_mels.py run (mel_pred/ directory).
+    """
+
+    def __init__(self, preprocessed_path, segment_size=8192, hop_length=256,
+                 mel_source="pred", seed=0):
+        import glob
+
+        self.segment_size = segment_size
+        self.hop = hop_length
+        self.n_frames = segment_size // hop_length
+        mel_dir = "mel_pred" if mel_source == "pred" else "mel"
+        self.pairs = []
+        for wav_path in sorted(glob.glob(
+                os.path.join(preprocessed_path, "wav", "*-wav-*.npy"))):
+            mel_path = os.path.join(
+                preprocessed_path, mel_dir,
+                os.path.basename(wav_path).replace("-wav-", "-mel-"))
+            if os.path.exists(mel_path):
+                self.pairs.append((wav_path, mel_path))
+        if not self.pairs:
+            raise FileNotFoundError(
+                f"no aligned wav/{mel_dir} pairs under {preprocessed_path} "
+                "(preprocess with save_trimmed_wav: true"
+                + (" and run export_mels.py" if mel_source == "pred" else "")
+                + ")")
+        self._rng = random.Random(seed)
+        self._cache = {}
+
+    def _load(self, pair):
+        if pair not in self._cache:
+            wav = np.load(pair[0]).astype(np.float32)
+            mel = np.load(pair[1]).astype(np.float32)
+            n = min(len(wav) // self.hop, mel.shape[0])
+            self._cache[pair] = (wav[: n * self.hop], mel[:n])
+        return self._cache[pair]
+
+    def sample(self, batch_size):
+        n_mels = self._load(self.pairs[0])[1].shape[1]
+        wav_out = np.zeros((batch_size, self.segment_size), np.float32)
+        mel_out = np.zeros((batch_size, self.n_frames, n_mels), np.float32)
+        for b in range(batch_size):
+            wav, mel = self._load(self._rng.choice(self.pairs))
+            n = mel.shape[0]
+            if n > self.n_frames:
+                f = self._rng.randrange(n - self.n_frames)
+                mel_out[b] = mel[f: f + self.n_frames]
+                wav_out[b] = wav[f * self.hop: (f + self.n_frames) * self.hop]
+            else:
+                mel_out[b, :n] = mel
+                wav_out[b, : n * self.hop] = wav
+        return wav_out, mel_out
+
+
 class SegmentSampler:
     """Random fixed-length waveform segments from a corpus directory laid
     out like the raw preprocessing corpus (<root>/<speaker>/*.wav)."""
@@ -189,8 +256,17 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   log_step=100, save_step=1000, generator_config=None,
                   discriminator_config=None,
                   n_mel_channels=80, mel_fmax=8000.0, seed=0,
+                  finetune_from=None, mel_source="pred",
+                  init_generator_params=None,
                   log=print):
-    """Train (or smoke-train) the native HiFi-GAN generator."""
+    """Train (or smoke-train) the native HiFi-GAN generator.
+
+    finetune_from: path to a preprocessed corpus — trains on aligned
+    (GT wav, mel) segment pairs (mel_source "pred" = acoustic-model
+    exports from export_mels.py, "gt" = ground-truth mels) instead of
+    computing the input mel from the waveform.  init_generator_params
+    optionally warm-starts the generator (e.g. converted pretrained
+    weights)."""
     from fastspeech2_tpu.training.checkpoint import save_checkpoint
 
     gen = HiFiGANGenerator(**(generator_config or {}),
@@ -199,12 +275,21 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     mel_fn = MelSpectrogram(
         hop_length=256, n_mel_channels=n_mel_channels,
         sampling_rate=sampling_rate, mel_fmax=mel_fmax)
+    hop = mel_fn.hop_length
+    external_mel = finetune_from is not None
 
-    sampler = SegmentSampler(wav_dir, segment_size, sampling_rate, seed)
+    if external_mel:
+        sampler = FinetuneSampler(finetune_from, segment_size, hop,
+                                  mel_source, seed)
+        seg0, mel0 = sampler.sample(batch_size)
+        seg0, mel0 = jnp.asarray(seg0), jnp.asarray(mel0)
+    else:
+        sampler = SegmentSampler(wav_dir, segment_size, sampling_rate, seed)
+        seg0 = jnp.asarray(sampler.sample(batch_size))
+        mel0 = mel_fn(seg0)[0][:, :, : segment_size // hop].transpose(
+            0, 2, 1)
     rng = jax.random.PRNGKey(seed)
-    seg0 = jnp.asarray(sampler.sample(batch_size))
-    mel0 = mel_fn(seg0)[0][:, :, : segment_size // 256].transpose(0, 2, 1)
-    gen_params = gen.init(rng, mel0)["params"]
+    gen_params = init_generator_params or gen.init(rng, mel0)["params"]
     disc_params = disc.init(rng, seg0)["params"]
 
     gen_opt, _ = make_vocoder_optimizer(
@@ -214,13 +299,19 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     state = VocoderTrainState.create(gen_params, disc_params,
                                      gen_opt, disc_opt)
     step_fn = jax.jit(
-        make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt),
+        make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                external_mel=external_mel),
         donate_argnums=0)
 
     os.makedirs(out_dir, exist_ok=True)
     for i in range(1, total_steps + 1):
-        wav = jnp.asarray(sampler.sample(batch_size))
-        state, losses = step_fn(state, wav)
+        if external_mel:
+            wav, mel = sampler.sample(batch_size)
+            state, losses = step_fn(state, jnp.asarray(wav),
+                                    jnp.asarray(mel))
+        else:
+            wav = jnp.asarray(sampler.sample(batch_size))
+            state, losses = step_fn(state, wav)
         if i % log_step == 0 or i == total_steps:
             vals = {k: float(v) for k, v in losses.items()}
             log(f"Vocoder step {i}/{total_steps}: "

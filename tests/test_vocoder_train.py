@@ -118,6 +118,107 @@ def test_vocoder_train_step_losses_improve():
     assert last_mel < first_mel, (first_mel, last_mel)
 
 
+def test_finetune_pipeline(tmp_path):
+    """Full fine-tuning recipe end-to-end: preprocess with trimmed-wav
+    export -> export_mels (teacher-forced predicted mels) -> fine-tune the
+    vocoder on aligned (GT wav, predicted mel) pairs."""
+    import json
+    import yaml
+
+    from test_preprocessing import _config, _make_raw_corpus
+
+    raw, out = _make_raw_corpus(str(tmp_path))
+    pre_cfg = _config(raw, out)
+    pre_cfg["preprocessing"]["audio"]["save_trimmed_wav"] = True
+    from fastspeech2_tpu.preprocessing import Preprocessor
+
+    Preprocessor(pre_cfg).build_from_path()
+
+    # aligned trimmed wavs exist and pair with mels frame-for-frame
+    wav_files = sorted(os.listdir(os.path.join(out, "wav")))
+    assert wav_files
+    for wf in wav_files:
+        wav = np.load(os.path.join(out, "wav", wf))
+        mel = np.load(os.path.join(out, "mel", wf.replace("-wav-", "-mel-")))
+        assert len(wav) == mel.shape[0] * 256
+
+    model_cfg = {
+        "transformer": {
+            "encoder_layer": 1, "encoder_head": 2, "encoder_hidden": 16,
+            "decoder_layer": 1, "decoder_head": 2, "decoder_hidden": 16,
+            "conv_filter_size": 32, "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        },
+        "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear",
+                               "n_bins": 16},
+        "multi_speaker": False, "max_seq_len": 256,
+        "vocoder": {"model": "none", "speaker": "LJSpeech"},
+    }
+    train_cfg = {
+        "bucket": {"text": 8, "mel": 32},
+        "path": {"ckpt_path": str(tmp_path / "ckpt"),
+                 "log_path": str(tmp_path / "log"),
+                 "result_path": str(tmp_path / "result")},
+        "optimizer": {"batch_size": 2, "betas": [0.9, 0.98], "eps": 1e-9,
+                      "grad_clip_thresh": 1.0, "warm_up_step": 10,
+                      "anneal_steps": [], "anneal_rate": 1.0},
+        "step": {"total_step": 2, "log_step": 1, "synth_step": 100,
+                 "val_step": 100, "save_step": 2},
+    }
+    paths = {}
+    for name, c in [("preprocess", pre_cfg), ("model", model_cfg),
+                    ("train", train_cfg)]:
+        pth = tmp_path / f"{name}.yaml"
+        pth.write_text(yaml.safe_dump(c))
+        paths[name] = str(pth)
+
+    # teacher-forced predicted mels (random-init acoustic model is fine for
+    # exercising the pipeline)
+    from fastspeech2_tpu.cli.export_mels_cli import main as export_main
+
+    n = export_main(["-p", paths["preprocess"], "-m", paths["model"],
+                     "-t", paths["train"], "--batch_size", "2"])
+    n += export_main(["-p", paths["preprocess"], "-m", paths["model"],
+                      "-t", paths["train"], "--batch_size", "2",
+                      "--split", "val.txt"])
+    assert n == len(wav_files)
+    pred = sorted(os.listdir(os.path.join(out, "mel_pred")))
+    assert len(pred) == len(wav_files)
+    m0 = np.load(os.path.join(out, "mel_pred", pred[0]))
+    g0 = np.load(os.path.join(out, "mel", pred[0]))
+    assert m0.shape == g0.shape  # teacher-forced: GT-length alignment
+
+    # fine-tune the vocoder on the (wav, predicted-mel) pairs via the CLI
+    from fastspeech2_tpu.cli.train_vocoder_cli import main as voc_main
+
+    cfg = {
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "segment_size": 2048, "num_mels": 80,
+        "learning_rate": 2e-4, "batch_size": 2,
+        "discriminator": {
+            "periods": [2, 3], "n_scales": 2,
+            "period_channels": [4, 8],
+            "scale_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]],
+        },
+    }
+    cfg_path = tmp_path / "voc.json"
+    cfg_path.write_text(json.dumps(cfg))
+    state = voc_main([
+        "--finetune_from", out, "--out_dir", str(tmp_path / "voc_ckpt"),
+        "--config", str(cfg_path),
+        "--total_steps", "2", "--log_step", "1", "--save_step", "2",
+    ])
+    assert int(state.step) == 2
+    assert os.path.isdir(tmp_path / "voc_ckpt" / "2")
+
+
 def test_train_vocoder_cli(tmp_path):
     """End-to-end through the CLI: wav corpus -> steps -> checkpoint."""
     import json
