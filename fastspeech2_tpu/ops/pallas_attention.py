@@ -23,11 +23,71 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fastspeech2_tpu.ops.attention import multi_head_attention as _xla_mha
 
 _NEG_INF = -1e9
+
+
+def _qkv_sharding(mesh, arg_shapes):
+    """Partitioning rule shared by the attention kernels: [B, H, L, D]
+    operands may be sharded on batch (data parallel) and heads (tensor
+    parallel); L and D are replicated because each kernel instance needs
+    the full sequence and head_dim.  Mosaic kernels have no GSPMD rule of
+    their own, so without this XLA gathers every operand and runs the
+    kernel fully replicated on sharded meshes."""
+    q = arg_shapes[0].sharding
+    spec = q.spec if isinstance(q, NamedSharding) else P()
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[1] if len(spec) > 1 else None
+    qkv = NamedSharding(mesh, P(b, h, None, None))
+    mask = NamedSharding(mesh, P(b, None))
+    return qkv, mask
+
+
+def _make_partitioned(is_bwd, interpret):
+    """Wrap the forward or backward Pallas call in custom_partitioning so
+    batch/head-sharded operands run the kernel per-shard instead of being
+    gathered.  The shardy rule (and the legacy GSPMD callbacks) mark L and
+    D as must-replicate: each kernel instance needs the full sequence and
+    head_dim."""
+    if is_bwd:
+        def impl(q, k, v, maskf, g):
+            return _pallas_backward_impl(q, k, v, maskf, g, interpret)
+        rule = ("b h l d, b h l d, b h l d, b l, b h l d "
+                "-> b h l d, b h l d, b h l d")
+    else:
+        def impl(q, k, v, maskf):
+            return _pallas_forward_impl(q, k, v, maskf, interpret)
+        rule = "b h l d, b h l d, b h l d, b l -> b h l d"
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        qkv, _ = _qkv_sharding(mesh, arg_shapes)
+        return (qkv, qkv, qkv) if is_bwd else qkv
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv, mask = _qkv_sharding(mesh, arg_shapes)
+        if is_bwd:
+            arg_sh = (qkv, qkv, qkv, mask, qkv)
+            res_sh = (qkv, qkv, qkv)
+        else:
+            arg_sh = (qkv, qkv, qkv, mask)
+            res_sh = qkv
+        return mesh, impl, res_sh, arg_sh
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=("l", "d"),
+        decode_shardings=True,
+    )
+    return fn
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
@@ -48,12 +108,12 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k, v, key_pad_mask, interpret=False):
+def _pallas_forward_impl(q, k, v, maskf, interpret):
     B, H, L, D = q.shape
     scale = 1.0 / math.sqrt(D)
     # [B, 1, L]: a (1, 1, L) block satisfies Mosaic's (8, 128)-divisible-
     # or-full-dimension rule for the trailing two dims
-    maskf = key_pad_mask.astype(jnp.float32)[:, None, :]
+    maskf = maskf[:, None, :]
     kernel = functools.partial(_mha_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
@@ -116,10 +176,10 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _pallas_backward(q, k, v, key_pad_mask, g, interpret=False):
+def _pallas_backward_impl(q, k, v, maskf, g, interpret):
     B, H, L, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    maskf = key_pad_mask.astype(jnp.float32)[:, None, :]
+    maskf = maskf[:, None, :]
     kernel = functools.partial(_mha_bwd_kernel, scale=scale)
     qkv_spec = pl.BlockSpec((1, 1, L, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -136,6 +196,26 @@ def _pallas_backward(q, k, v, key_pad_mask, g, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((B, H, L, D), q.dtype)] * 3,
         interpret=interpret,
     )(q, k, v, maskf, g)
+
+
+_PARTITIONED_CACHE = {}
+
+
+def _partitioned(is_bwd, interpret):
+    key = (is_bwd, interpret)
+    if key not in _PARTITIONED_CACHE:
+        _PARTITIONED_CACHE[key] = _make_partitioned(is_bwd, interpret)
+    return _PARTITIONED_CACHE[key]
+
+
+def _pallas_forward(q, k, v, key_pad_mask, interpret=False):
+    maskf = key_pad_mask.astype(jnp.float32)
+    return _partitioned(False, interpret)(q, k, v, maskf)
+
+
+def _pallas_backward(q, k, v, key_pad_mask, g, interpret=False):
+    maskf = key_pad_mask.astype(jnp.float32)
+    return _partitioned(True, interpret)(q, k, v, maskf, g)
 
 
 def _bwd_fits_vmem(L, D, dtype, budget=12 * 1024 * 1024):

@@ -63,6 +63,52 @@ def test_fused_attention_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_fused_attention_partitions_over_mesh():
+    """Under a (data, model) mesh with batch and head sharded, the
+    custom_partitioning rule must keep the kernel per-shard (no all-gather
+    of q/k/v) and produce the same values as the unsharded op."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v, mask = _inputs(B=4, H=2, L=32, D=16)
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    qkv_sh = NamedSharding(mesh, P("data", "model", None, None))
+    mask_sh = NamedSharding(mesh, P("data", None))
+    qs = jax.device_put(q, qkv_sh)
+    ks = jax.device_put(k, qkv_sh)
+    vs = jax.device_put(v, qkv_sh)
+    ms = jax.device_put(mask, mask_sh)
+
+    f = jax.jit(lambda q, k, v, m: fused_multi_head_attention(q, k, v, m,
+                                                              True))
+    out_sharded = f(qs, ks, vs, ms)
+    # output keeps the batch/head sharding (not gathered to replicated)
+    assert not out_sharded.sharding.is_fully_replicated
+    ref = fused_multi_head_attention(q, k, v, mask, True)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(ref),
+                               atol=1e-6)
+    # no all-gather of the operands in the compiled module
+    hlo = f.lower(qs, ks, vs, ms).compile().as_text()
+    assert "all-gather" not in hlo, "operands were gathered"
+
+    # gradients partition too
+    def loss(q, k, v):
+        out = fused_multi_head_attention(q, k, v, ms, True)
+        return jnp.sum(jnp.where(~ms[:, None, :, None], out, 0.0) ** 2)
+
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
+
+    def loss_ref(q, k, v):
+        out = fused_multi_head_attention(q, k, v, mask, True)
+        return jnp.sum(jnp.where(~mask[:, None, :, None], out, 0.0) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_model_with_pallas_interpret_backend():
     from fastspeech2_tpu.models import FastSpeech2
 
