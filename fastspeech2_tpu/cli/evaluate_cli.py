@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--torch_ckpt", type=str, default=None)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
+    parser.add_argument("--synth", action="store_true",
+                        help="also write a synth-sample figure (+ wavs if "
+                             "a vocoder is configured) to result_path, "
+                             "like the in-loop evaluation does")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -47,6 +51,32 @@ def main(argv=None):
                "{:.4f}, Duration Loss: {:.4f}").format(
         args.restore_step, *losses)
     print(message)
+
+    if args.synth:
+        import os
+
+        from fastspeech2_tpu.data.dataset import collate_batch
+        from fastspeech2_tpu.synthesis import get_vocoder
+        from fastspeech2_tpu.training.loop import synth_one_sample
+
+        vocoder = get_vocoder(model_config, preprocess_config, None)
+        batch = collate_batch([val_dataset[0]],
+                              max_mel_len=cfg.max_seq_len)
+        fig, wav_rec, wav_pred = synth_one_sample(
+            model, cfg, state, batch, preprocess_config, vocoder)
+        result_path = train_config["path"]["result_path"]
+        os.makedirs(result_path, exist_ok=True)
+        base = os.path.join(
+            result_path, f"val_step_{args.restore_step}")
+        fig.savefig(base + ".png")
+        if wav_rec is not None:
+            from scipy.io import wavfile
+
+            sr = preprocess_config["preprocessing"]["audio"][
+                "sampling_rate"]
+            wavfile.write(base + "_reconstructed.wav", sr, wav_rec)
+            wavfile.write(base + "_synthesized.wav", sr, wav_pred)
+        print(f"Synth sample written to {base}.png")
     return losses
 
 

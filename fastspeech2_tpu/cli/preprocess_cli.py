@@ -11,9 +11,21 @@ def preprocess_main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str,
                         help="path to preprocess.yaml")
+    parser.add_argument("--mfa", action="store_true",
+                        help="run Montreal Forced Aligner first (must be "
+                             "installed) to produce the TextGrid/ inputs")
+    parser.add_argument("--mfa_acoustic_model", default="english_us_arpa")
+    parser.add_argument("--mfa_dictionary", default=None)
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = yaml.safe_load(f)
+    if args.mfa:
+        from fastspeech2_tpu.preprocessing.mfa import run_mfa_align
+
+        out_dir, _ = run_mfa_align(
+            config, acoustic_model=args.mfa_acoustic_model,
+            dictionary=args.mfa_dictionary)
+        print(f"MFA alignment written to {out_dir}")
     from fastspeech2_tpu.preprocessing import Preprocessor
 
     Preprocessor(config).build_from_path()

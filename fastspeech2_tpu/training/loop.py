@@ -215,8 +215,20 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     micro_sharding = (NamedSharding(mesh, P(None, "data")) if acc > 1
                       else batch_sharding)
 
+    # optional bf16 mel transfer: the ~5 MB host->device batch is the
+    # wall-clock bottleneck through a relay link; mels are the bulk of it
+    # and the step upcasts them to fp32 on device (train.yaml
+    # `transfer: {mel_bf16: true}`)
+    mel_bf16 = bool(train_config.get("transfer", {}).get("mel_bf16", False))
+    if mel_bf16:
+        import ml_dtypes
+        _mel_wire_dtype = ml_dtypes.bfloat16
+
     def to_device(batch):
         model_batch = _model_batch(batch)
+        if mel_bf16:
+            model_batch = dict(model_batch)
+            model_batch["mels"] = model_batch["mels"].astype(_mel_wire_dtype)
         if acc > 1:
             # leading micro-batch axis for the lax.scan accumulation
             model_batch = {

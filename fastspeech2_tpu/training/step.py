@@ -16,6 +16,11 @@ def _apply_model(model, cfg, params, batch_stats, batch, rng, train):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    if batch["mels"].dtype != jnp.float32:
+        # mels may arrive bf16 over the wire (loop.py mel_bf16); loss
+        # targets are always fp32 on device
+        batch = dict(batch)
+        batch["mels"] = batch["mels"].astype(jnp.float32)
     kwargs = dict(
         mels=batch["mels"],
         mel_lens=batch["mel_lens"],

@@ -62,6 +62,40 @@ def test_read_long_textgrid(tmp_path):
     assert phones.intervals[2].end_time == 1.75
 
 
+def test_mfa_wrapper(tmp_path, monkeypatch):
+    """mfa present -> correct command; absent -> actionable instructions."""
+    from fastspeech2_tpu.preprocessing import mfa as mfa_mod
+    from fastspeech2_tpu.preprocessing.mfa import (
+        MFANotInstalled,
+        run_mfa_align,
+    )
+
+    monkeypatch.setattr(mfa_mod, "mfa_binary", lambda: None)
+
+    cfg = {"path": {"raw_path": str(tmp_path / "raw"),
+                    "preprocessed_path": str(tmp_path / "pre"),
+                    "lexicon_path": str(tmp_path / "lex.txt")}}
+    calls = []
+
+    def fake_runner(cmd, check):
+        calls.append(cmd)
+        return 0
+
+    out_dir, _ = run_mfa_align(cfg, binary="/fake/mfa", runner=fake_runner)
+    assert out_dir == str(tmp_path / "pre" / "TextGrid")
+    assert os.path.isdir(out_dir)
+    cmd = calls[0]
+    assert cmd[:2] == ["/fake/mfa", "align"]
+    assert cfg["path"]["raw_path"] in cmd
+    assert "english_us_arpa" in cmd
+
+    import pytest
+
+    with pytest.raises(MFANotInstalled) as e:
+        run_mfa_align(cfg, binary=None)
+    assert "mfa align" in str(e.value)
+
+
 def _make_raw_corpus(root, n_utts=3):
     """Sine-wave 'speech' + TextGrids with a sil/phone/phone/sp layout."""
     sr = 22050

@@ -125,6 +125,33 @@ def test_remat_gradients_match_plain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_bf16_mel_transfer_matches_fp32():
+    """Shipping mels bf16 over the wire (loop.py transfer.mel_bf16) must
+    give a loss close to the fp32 transfer (targets upcast on device)."""
+    import ml_dtypes
+
+    cfg = tiny_config(encoder_dropout=0.0, decoder_dropout=0.0,
+                      vp_dropout=0.0)
+    batch = synthetic_batch(cfg)
+    model, variables = _init(cfg, batch)
+    optim, _ = make_optimizer(OptimConfig(warm_up_step=100, anneal_steps=()),
+                              cfg.encoder_hidden)
+    rng = jax.random.PRNGKey(4)
+    step_fn = jax.jit(make_train_step(model, cfg, optim))
+
+    state32 = TrainState.create(variables, optim)
+    _, losses32 = step_fn(state32, batch, rng)
+
+    batch16 = dict(batch)
+    batch16["mels"] = batch["mels"].astype(ml_dtypes.bfloat16)
+    state16 = TrainState.create(variables, optim)
+    _, losses16 = step_fn(state16, batch16, rng)
+
+    assert np.isfinite(float(losses16.total))
+    np.testing.assert_allclose(float(losses16.total),
+                               float(losses32.total), rtol=2e-2)
+
+
 def test_eval_step_finite_and_deterministic():
     cfg = tiny_config()
     batch = synthetic_batch(cfg)
