@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--log_step", type=int, default=100)
     p.add_argument("--save_step", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="shard the segment batch over N devices")
     args = p.parse_args(argv)
     if args.wav_dir is None and args.finetune_from is None:
         p.error("one of --wav_dir or --finetune_from is required")
@@ -79,6 +81,7 @@ def main(argv=None):
         discriminator_config=disc_cfg,
         finetune_from=args.finetune_from,
         mel_source=args.mel_source,
+        data_parallel=args.data_parallel,
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

@@ -257,7 +257,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   discriminator_config=None,
                   n_mel_channels=80, mel_fmax=8000.0, seed=0,
                   finetune_from=None, mel_source="pred",
-                  init_generator_params=None,
+                  init_generator_params=None, data_parallel=None,
                   log=print):
     """Train (or smoke-train) the native HiFi-GAN generator.
 
@@ -266,7 +266,9 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     exports from export_mels.py, "gt" = ground-truth mels) instead of
     computing the input mel from the waveform.  init_generator_params
     optionally warm-starts the generator (e.g. converted pretrained
-    weights)."""
+    weights).  data_parallel > 1 shards the segment batch over a
+    1-D device mesh (params replicated; XLA inserts the gradient
+    all-reduce)."""
     from fastspeech2_tpu.training.checkpoint import save_checkpoint
 
     gen = HiFiGANGenerator(**(generator_config or {}),
@@ -298,6 +300,25 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         learning_rate, lr_decay=lr_decay, steps_per_epoch=steps_per_epoch)
     state = VocoderTrainState.create(gen_params, disc_params,
                                      gen_opt, disc_opt)
+
+    batch_put = jnp.asarray
+    if data_parallel and data_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fastspeech2_tpu.parallel import make_mesh
+
+        if batch_size % data_parallel:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"data_parallel {data_parallel}")
+        mesh = make_mesh(data=data_parallel, model=1)
+        replicated = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, replicated)
+
+        def batch_put(x):
+            return jax.device_put(np.asarray(x), batch_sharding)
+
     step_fn = jax.jit(
         make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                 external_mel=external_mel),
@@ -307,10 +328,9 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     for i in range(1, total_steps + 1):
         if external_mel:
             wav, mel = sampler.sample(batch_size)
-            state, losses = step_fn(state, jnp.asarray(wav),
-                                    jnp.asarray(mel))
+            state, losses = step_fn(state, batch_put(wav), batch_put(mel))
         else:
-            wav = jnp.asarray(sampler.sample(batch_size))
+            wav = batch_put(sampler.sample(batch_size))
             state, losses = step_fn(state, wav)
         if i % log_step == 0 or i == total_steps:
             vals = {k: float(v) for k, v in losses.items()}
