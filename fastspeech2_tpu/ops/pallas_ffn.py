@@ -17,7 +17,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def xla_conv_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias):
@@ -118,15 +120,64 @@ def _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=False):
       row2d(ln_scale), row2d(ln_bias))
 
 
+def _make_partitioned(interpret):
+    """custom_partitioning wrapper: the grid is per batch row, so the batch
+    axis shards (data parallel) with weights replicated per shard; without
+    this the Mosaic call has no GSPMD rule and XLA gathers the activations
+    and runs the kernel replicated.  (TP-sharding the hidden dim would
+    need a psum before the in-kernel LayerNorm — future work; under TP the
+    model uses the XLA path, which shards correctly.)"""
+
+    def impl(x, w1, b1, w2, b2, ln_scale, ln_bias):
+        return _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                               interpret=interpret)
+
+    fn = custom_partitioning(impl)
+
+    def shardings(mesh, arg_shapes):
+        spec = (arg_shapes[0].sharding.spec
+                if isinstance(arg_shapes[0].sharding, NamedSharding) else P())
+        b = spec[0] if len(spec) > 0 else None
+        x_sh = NamedSharding(mesh, P(b, None, None))
+        rep3 = NamedSharding(mesh, P(None, None, None))
+        rep1 = NamedSharding(mesh, P(None))
+        return x_sh, (x_sh, rep3, rep1, rep3, rep1, rep1, rep1)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return shardings(mesh, arg_shapes)[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_sh, arg_sh = shardings(mesh, arg_shapes)
+        return mesh, impl, x_sh, arg_sh
+
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b l d, k1 d h, h2, k2 h3 d2, d3, d4, d5 "
+                       "-> b l d"),
+        need_replication_factors=("l", "d", "k1", "h", "h2", "k2", "h3",
+                                  "d2", "d3", "d4", "d5"),
+        decode_shardings=True,
+    )
+    return fn
+
+
+_PARTITIONED_CACHE = {}
+
+
+def _partitioned(interpret):
+    if interpret not in _PARTITIONED_CACHE:
+        _PARTITIONED_CACHE[interpret] = _make_partitioned(interpret)
+    return _PARTITIONED_CACHE[interpret]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def fused_conv_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret=False):
-    return _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                           interpret=interpret)
+    return _partitioned(interpret)(x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 
 def _fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, interpret):
-    out = _pallas_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                          interpret=interpret)
+    out = _partitioned(interpret)(x, w1, b1, w2, b2, ln_scale, ln_bias)
     return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
 
 

@@ -35,6 +35,37 @@ def test_fused_ffn_k3_second_conv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_fused_ffn_partitions_over_batch():
+    """Batch-sharded x must run the kernel per-shard (no all-gather of the
+    activations) and match the unsharded values."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    B, L, D, H = 4, 16, 8, 16
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    w1 = jnp.asarray(rng.randn(9, D, H) * 0.1, jnp.float32)
+    b1 = jnp.zeros(H, jnp.float32)
+    w2 = jnp.asarray(rng.randn(1, H, D) * 0.1, jnp.float32)
+    b2 = jnp.zeros(D, jnp.float32)
+    g = jnp.ones(D, jnp.float32)
+    beta = jnp.zeros(D, jnp.float32)
+
+    ref = fused_conv_ffn(x, w1, b1, w2, b2, g, beta, True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    f = jax.jit(lambda *a: fused_conv_ffn(*a, True))
+    out = f(xs, w1, b1, w2, b2, g, beta)
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    hlo = f.lower(xs, w1, b1, w2, b2, g, beta).compile().as_text()
+    assert "all-gather" not in hlo
+
+
 def test_fused_ffn_grad_matches_xla():
     args = _inputs(L=16, D=8, H=16)
 
