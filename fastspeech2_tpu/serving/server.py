@@ -13,7 +13,9 @@ fused dispatch per group.
 `TTSServer` wraps that in a stdlib ThreadingHTTPServer:
 
   POST /synthesize   {"text": "...", "speaker": 0, "pitch_control": 1.0,
-                      "energy_control": 1.0, "duration_control": 1.0}
+                      "energy_control": 1.0, "duration_control": 1.0,
+                      "long": bool (default: auto for texts > 100 chars —
+                      sentence-split long-form synthesis)}
                      -> audio/wav bytes (RIFF, int16, corpus sample rate)
   GET  /healthz      -> {"status": "ok"}
   GET  /stats        -> {"requests": N, "batches": M, "mean_batch": ...}
@@ -73,8 +75,19 @@ class BatchingSynthesizer:
 
     # -- client side ----------------------------------------------------
     def synthesize(self, text, speaker=0, p_control=1.0, e_control=1.0,
-                   d_control=1.0, timeout=120.0):
-        """Blocking: returns the trimmed int16 waveform for one utterance."""
+                   d_control=1.0, timeout=120.0, long=False):
+        """Blocking: returns the trimmed int16 waveform for one utterance.
+
+        long=True routes through the sentence-splitting long-form path
+        (no batching across requests; each chunk is its own dispatch)."""
+        if long:
+            wav, _ = self.synthesizer.synthesize_long(
+                text, speaker=int(speaker), p_control=float(p_control),
+                e_control=float(e_control), d_control=float(d_control))
+            with self._stats_lock:
+                self.n_requests += 1
+                self.n_batches += 1
+            return wav
         req = _Request(text, int(speaker),
                        (float(p_control), float(e_control),
                         float(d_control)))
@@ -198,6 +211,12 @@ class TTSServer:
                 except (ValueError, KeyError, json.JSONDecodeError) as exc:
                     self._json(400, {"error": str(exc)})
                     return
+                # long texts take the sentence-splitting path; default
+                # auto-routes anything the reference would truncate
+                # (synthesize.py:203 cuts single-mode input at 100 chars)
+                long = payload.get("long")
+                if long is None:
+                    long = len(text) > 100
                 try:
                     wav = server.batcher.synthesize(
                         text,
@@ -205,6 +224,7 @@ class TTSServer:
                         p_control=payload.get("pitch_control", 1.0),
                         e_control=payload.get("energy_control", 1.0),
                         d_control=payload.get("duration_control", 1.0),
+                        long=bool(long),
                     )
                 except Exception as exc:
                     self._json(500, {"error": str(exc)})

@@ -176,6 +176,32 @@ def test_http_bad_requests(server):
     assert e.value.code == 404
 
 
+def test_http_long_text(server):
+    """Texts over 100 chars auto-route through sentence-splitting
+    long-form synthesis and still return one joined wav."""
+    text = ("The first sentence is here. " * 3
+            + "And a final one to push past the reference truncation "
+              "limit of one hundred characters.")
+    assert len(text) > 100
+    req = urllib.request.Request(
+        _url(server, "/synthesize"),
+        data=json.dumps({"text": text}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = r.read()
+    assert body[:4] == b"RIFF"
+    n_long = (len(body) - 44) // 2
+
+    req = urllib.request.Request(
+        _url(server, "/synthesize"),
+        data=json.dumps({"text": "short one."}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        n_short = (len(r.read()) - 44) // 2
+    # 4 sentences + 3 pauses must be longer than one short sentence
+    assert n_long > n_short
+
+
 def test_http_stats(server):
     with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
         stats = json.loads(r.read())
