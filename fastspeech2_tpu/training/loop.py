@@ -77,7 +77,19 @@ def init_training(preprocess_config, model_config, train_config,
 
     if restore_step:
         ckpt_dir = os.path.join(train_config["path"]["ckpt_path"])
-        state = restore_checkpoint(ckpt_dir, state, restore_step)
+        # restore INTO the sharded layout: an abstract target carrying each
+        # leaf's sharding, else orbax materializes everything committed to
+        # device 0 and the jitted step rejects the mixed placement.
+        # Non-mesh leaves (optimizer counts, step) restore replicated.
+        replicated = NamedSharding(mesh, P())
+
+        def _abstract(x):
+            sh = x.sharding if isinstance(x.sharding, NamedSharding) \
+                else replicated
+            return jax.ShapeDtypeStruct(jnp.shape(x), x.dtype, sharding=sh)
+
+        abstract = jax.tree_util.tree_map(_abstract, state)
+        state = restore_checkpoint(ckpt_dir, abstract, restore_step)
 
     return model, cfg, optim_cfg, state, optimizer, mesh
 
@@ -241,10 +253,33 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         }
         return batch, device
 
-    while step < total_step:
+    # preemption handling (absent upstream, SURVEY.md section 5): on
+    # SIGTERM/SIGUSR1 (what TPU preemption notices deliver) finish the
+    # in-flight step, checkpoint, and exit cleanly so --restore_step -1
+    # resumes exactly where training stopped
+    import signal
+    import threading
+
+    preempted = threading.Event()
+
+    def _on_preempt(signum, frame):
+        log(f"Received signal {signum}: checkpointing at the next step "
+            "boundary")
+        preempted.set()
+
+    installed = []
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            installed.append((sig, signal.signal(sig, _on_preempt)))
+
+    while step < total_step and not preempted.is_set():
         for batch, device_batch in PrefetchIterator(
                 loader.epoch(epoch), depth=2, transform=to_device):
             if step >= total_step:
+                break
+            if preempted.is_set():
+                save_checkpoint(ckpt_dir, state, step)
+                log(f"Preemption checkpoint saved at step {step}")
                 break
             if profile_dir and step - restore_step == 10:
                 jax.profiler.start_trace(profile_dir)
@@ -328,6 +363,8 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 log(f"Saved checkpoint at step {step}")
         epoch += 1
 
+    for sig, prev in installed:
+        signal.signal(sig, prev)
     save_checkpoint(ckpt_dir, state, step)
     logger.close()
     val_logger.close()

@@ -88,6 +88,55 @@ def test_training_loop_runs_and_checkpoints(workspace):
     assert "Total Loss" in content
 
 
+def test_preemption_checkpoints_and_resumes(workspace):
+    """SIGTERM mid-training must checkpoint at the step boundary and exit
+    cleanly; --restore_step -1 (elastic resume) then picks that step up."""
+    import copy
+    import signal
+    import threading
+
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.training.checkpoint import latest_step
+    from fastspeech2_tpu.training.loop import train
+
+    root, paths, (pre, model_cfg, train_cfg) = workspace
+    cfg = copy.deepcopy(train_cfg)
+    cfg["step"]["total_step"] = 100000   # far more than we'll run
+    cfg["step"]["save_step"] = 100000
+    cfg["path"]["ckpt_path"] = os.path.join(root, "ckpt_preempt")
+    cfg["path"]["log_path"] = os.path.join(root, "log_preempt")
+
+    started = threading.Event()
+
+    def fire():
+        started.wait()
+        # let a few steps land after the first log line, then preempt
+        import time
+        time.sleep(3)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    killer = threading.Thread(target=fire, daemon=True)
+    killer.start()
+
+    def log(msg):
+        started.set()
+
+    state = train(pre, model_cfg, cfg, dtype=jnp.float32, log=log)
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 100000
+    assert latest_step(cfg["path"]["ckpt_path"]) == stopped_at
+
+    # elastic resume from the preemption checkpoint for a couple steps
+    # (the CLI resolves --restore_step -1 via latest_step the same way)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["step"]["total_step"] = stopped_at + 2
+    state2 = train(pre, model_cfg, cfg2,
+                   restore_step=latest_step(cfg["path"]["ckpt_path"]),
+                   dtype=jnp.float32, log=lambda *_: None)
+    assert int(state2.step) == stopped_at + 2
+
+
 def test_evaluate_cli(workspace):
     root, paths, _ = workspace
     from fastspeech2_tpu.cli.evaluate_cli import main
