@@ -31,9 +31,15 @@ def fastspeech2_loss(
     pitch_targets,      # [B, P] or [B, T]
     energy_targets,
     duration_targets,   # [B, P] int
+    row_keep=None,      # [B] bool; False rows (loader pad-duplicates) are
+                        # excluded from every masked mean (evaluate.py:48-51
+                        # averages over true samples only)
 ) -> LossOutput:
     src_keep = ~output.src_pad_mask                     # [B, P]
     mel_keep = ~output.mel_pad_mask                     # [B, T'] (maybe truncated)
+    if row_keep is not None:
+        src_keep = src_keep & row_keep[:, None]
+        mel_keep = mel_keep & row_keep[:, None]
 
     t = output.mel.shape[1]
     mel_targets = mel_targets[:, :t, :].astype(jnp.float32)

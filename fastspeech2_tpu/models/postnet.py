@@ -8,10 +8,65 @@ over the global (all-chip) batch, which supersedes the reference's
 per-replica DataParallel stats.
 """
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from fastspeech2_tpu.models.common import torch_bias_init, torch_kernel_init
+
+
+class _MaskedBatchNorm(nn.Module):
+    """BatchNorm1d with torch semantics whose batch statistics exclude
+    frames beyond the batch's max mel length.
+
+    The reference convolves exactly max(mel_len) frames, so its BatchNorm
+    stats cover [B, max(mel_len)] — including each utterance's own padding
+    inside that range but nothing past it.  With static bucketed T >=
+    max(mel_len) a plain BatchNorm would dilute the stats with the extra
+    bucket padding; masking the stat reduction restores reference parity.
+    Variable tree matches nn.BatchNorm ({scale,bias} params, {mean,var}
+    batch_stats) so checkpoints and the torch converters are unchanged.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average=True, keep=None):
+        # x: [B, T, C] fp32; keep: [B, T] bool, True = include in stats
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if keep is None:
+                n = x.shape[0] * x.shape[1]
+                mean = jnp.mean(x, axis=(0, 1))
+                var = jnp.mean(jnp.square(x), axis=(0, 1)) - jnp.square(mean)
+            else:
+                w = keep.astype(jnp.float32)[:, :, None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(x * w, axis=(0, 1)) / n
+                var = (jnp.sum(jnp.square(x) * w, axis=(0, 1)) / n
+                       - jnp.square(mean))
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                # torch updates running_var with the UNBIASED variance
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
 
 
 class PostNet(nn.Module):
@@ -51,14 +106,16 @@ class PostNet(nn.Module):
                 param_dtype=jnp.float32,
                 name=f"conv_{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
+            x = _MaskedBatchNorm(
+                features=features,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
                 name=f"bn_{i}",
-            )(x.astype(jnp.float32)).astype(self.dtype)
+            )(
+                x.astype(jnp.float32),
+                use_running_average=not train,
+                keep=None if frame_mask is None else ~frame_mask,
+            ).astype(self.dtype)
             if not is_last:
                 x = jnp.tanh(x)
             x = nn.Dropout(0.5)(x, deterministic=not train)

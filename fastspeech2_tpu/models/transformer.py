@@ -144,16 +144,22 @@ class ConvFeedForward(nn.Module):
         if backend == "auto":
             import jax
 
-            backend = ("pallas" if jax.default_backend() not in ("cpu",)
+            # pltpu (Mosaic) kernels only compile on TPU backends
+            backend = ("pallas" if jax.default_backend() == "tpu"
                        else "xla")
         if backend == "pallas":
-            # VMEM guard: per-row working set is the [L, d_inner] fp32
-            # hidden plus both weight tensors plus padded io tiles
-            L = x.shape[1]
-            est = (L * self.d_inner * 4
-                   + sum(k * self.d_model * self.d_inner * 2
-                         for k in self.kernel_size)
-                   + 3 * L * self.d_model * 2)
+            # VMEM guard with the kernel's real working set at x.dtype:
+            # in/out tiles, both weight tensors, both padded scratch
+            # buffers (pallas_ffn scratch_shapes), plus the fp32 [L, H]
+            # conv1 accumulator and fp32 [L, D] pre-LN activation
+            L, D, H = x.shape[1], self.d_model, self.d_inner
+            k1, k2 = self.kernel_size
+            isz = jnp.dtype(x.dtype).itemsize
+            est = (isz * (2 * L * D                 # io tiles
+                          + k1 * D * H + k2 * H * D  # weights
+                          + (L + k1 - 1) * D         # xpad scratch
+                          + (L + k2 - 1) * H)        # hpad scratch
+                   + 4 * (L * H + L * D))            # fp32 acc + y
             if est > 12 * 1024 * 1024:
                 backend = "xla"
         if deterministic and backend in ("pallas", "pallas_interpret"):

@@ -141,15 +141,20 @@ class VarianceAdaptor(nn.Module):
         if duration_target is not None:
             duration_rounded = duration_target
         else:
-            # round(exp(log_d) - 1) * d_control, clamped at 0
-            # (reference model/modules.py:132-135)
-            duration_rounded = jnp.clip(
-                jnp.round(
-                    (jnp.exp(log_duration_prediction.astype(jnp.float32)) - 1.0)
-                    * d_control
-                ),
-                0,
-                None,
+            # round FIRST, then scale and truncate: the reference computes
+            # clamp(round(exp(log_d) - 1) * d_control, min=0) at
+            # model/modules.py:132-135 and LengthRegulator.expand truncates
+            # via int() (modules.py:186) — int() == floor after the clamp
+            duration_rounded = jnp.floor(
+                jnp.clip(
+                    jnp.round(
+                        jnp.exp(
+                            log_duration_prediction.astype(jnp.float32))
+                        - 1.0)
+                    * d_control,
+                    0,
+                    None,
+                )
             ).astype(jnp.int32)
             # padded phones must not emit frames
             duration_rounded = jnp.where(src_pad_mask, 0, duration_rounded)

@@ -267,8 +267,9 @@ def attention_op(q, k, v, key_pad_mask, backend="auto"):
     """
     L, D = q.shape[-2:]
     if backend == "auto":
+        # pltpu (Mosaic) kernels only compile on TPU backends
         backend = ("pallas"
-                   if jax.default_backend() not in ("cpu",) else "xla")
+                   if jax.default_backend() == "tpu" else "xla")
     if backend == "pallas" and not _fits_vmem(L, D, q.dtype):
         backend = "xla"
     if backend == "pallas":

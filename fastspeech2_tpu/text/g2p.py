@@ -80,6 +80,26 @@ def read_lexicon(lex_path):
     return lexicon
 
 
+def _token_to_phones(w, lexicon):
+    """One split token -> phones: lexicon hit, else verbalize digits
+    (g2p_en does its own number expansion upstream, synthesize.py:36-43)
+    and recurse per word, else rule-based letter-to-sound."""
+    if w.lower() in lexicon:
+        return list(lexicon[w.lower()])
+    if re.search(r"[0-9]", w):
+        from fastspeech2_tpu.text.numbers import normalize_numbers
+
+        expanded = normalize_numbers(w)
+        if expanded != w:
+            phones = []
+            # "twenty-one" / "five dollars, twenty cents" -> per-word lookup
+            for part in re.split(r"[\s\-,]+", expanded):
+                if part:
+                    phones += _token_to_phones(part, lexicon)
+            return phones
+    return _oov_to_phones(w)
+
+
 def english_to_phones(text, lexicon):
     """Sentence -> phone string '{HH AH0 ...}' with sp for punctuation."""
     from string import punctuation
@@ -91,7 +111,7 @@ def english_to_phones(text, lexicon):
         if w.lower() in lexicon:
             phones += lexicon[w.lower()]
         elif re.search(r"[A-Za-z0-9]", w):
-            phones += _oov_to_phones(w)
+            phones += _token_to_phones(w, lexicon)
         elif w.strip():
             # punctuation token: kept so the {sp} substitution below maps
             # it to a short pause, as g2p_en's passthrough does upstream

@@ -381,7 +381,7 @@ def evaluate(eval_step, state, val_dataset, preprocess_config, batch_size,
     count = 0
     for batch in loader.epoch(0):
         n = batch.get("valid_count", batch["texts"].shape[0])
-        losses = eval_step(state, _model_batch(batch))
+        losses = eval_step(state, _model_batch(batch), jnp.int32(n))
         sums += np.array([float(v) for v in losses]) * n
         count += n
     return (sums / max(count, 1)).tolist()

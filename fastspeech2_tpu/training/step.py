@@ -12,7 +12,8 @@ import optax
 from fastspeech2_tpu.models.loss import LossOutput, fastspeech2_loss
 
 
-def _apply_model(model, cfg, params, batch_stats, batch, rng, train):
+def _apply_model(model, cfg, params, batch_stats, batch, rng, train,
+                 row_keep=None):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
@@ -48,7 +49,7 @@ def _apply_model(model, cfg, params, batch_stats, batch, rng, train):
         new_stats = batch_stats
     losses = fastspeech2_loss(
         cfg, out, batch["mels"], batch["pitches"], batch["energies"],
-        batch["durations"],
+        batch["durations"], row_keep=row_keep,
     )
     return losses, new_stats, out
 
@@ -111,10 +112,17 @@ def make_eval_step(model, cfg):
     """Teacher-forced eval losses (reference evaluate.py:37-51 semantics:
     dropout off, BatchNorm running stats)."""
 
-    def eval_step(state, batch):
+    def eval_step(state, batch, valid_count=None):
+        row_keep = None
+        if valid_count is not None:
+            # loader pads partial batches by repeating the last sample
+            # (dataset.py); exclude the duplicate rows from the means so
+            # evaluate() matches the reference's per-sample averaging
+            b = batch["texts"].shape[0]
+            row_keep = jnp.arange(b) < valid_count
         losses, _, _ = _apply_model(
             model, cfg, state.params, state.batch_stats, batch,
-            rng=None, train=False)
+            rng=None, train=False, row_keep=row_keep)
         return losses
 
     return eval_step

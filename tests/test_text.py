@@ -137,3 +137,23 @@ def test_english_cleaners_pipeline():
     )
     assert english_cleaners("Café Münster") == "cafe munster"
     assert english_cleaners("Mr. Jones, Jr.") == "mister jones, junior"
+
+
+def test_g2p_verbalizes_digits():
+    # Regression: the no-g2p_en OOV path must speak numbers, matching the
+    # reference where g2p_en expands digits itself (synthesize.py:36-43).
+    from fastspeech2_tpu.text.g2p import english_to_phones
+
+    lex = {
+        "i": ["AY1"], "have": ["HH", "AE1", "V"],
+        "three": ["TH", "R", "IY1"], "cats": ["K", "AE1", "T", "S"],
+        "and": ["AH0", "N", "D"], "dogs": ["D", "AO1", "G", "Z"],
+        "twenty": ["T", "W", "EH1", "N", "T", "IY0"], "one": ["W", "AH1", "N"],
+        "first": ["F", "ER1", "S", "T"], "the": ["DH", "AH0"],
+    }
+    out = english_to_phones("I have 3 cats and 21 dogs", lex)
+    assert "TH R IY1" in out and "T W EH1 N T IY0 W AH1 N" in out
+    # no spurious pause inside "twenty-one"
+    assert "sp" not in out
+    # ordinals verbalize too
+    assert "F ER1 S T" in english_to_phones("the 21st", lex)

@@ -219,3 +219,29 @@ def test_partition_specs_cover_fft_blocks():
     assert w1 == P(None, None, "model")
     emb = specs["encoder"]["src_word_emb"]["embedding"]
     assert emb == P()
+
+
+def test_eval_step_excludes_padded_duplicate_rows():
+    # Regression (round-1 verdict): partial val batches are padded by
+    # repeating the last sample; those rows must not skew the masked means.
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, B=3)
+    model, variables = _init(cfg, batch)
+    optim, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
+    state = TrainState.create(variables, optim)
+    eval_step = make_eval_step(model, cfg)
+
+    # oracle: the 3 true rows on their own
+    truth = eval_step(state, {k: v[:3] for k, v in batch.items()})
+    # padded batch: last row duplicated twice, valid_count=3
+    padded = {
+        k: np.concatenate([v, v[2:3], v[2:3]], axis=0)
+        for k, v in batch.items()
+    }
+    biased = eval_step(state, padded)
+    masked = eval_step(state, padded, jnp.int32(3))
+    for t, m in zip(truth, masked):
+        np.testing.assert_allclose(np.asarray(t), np.asarray(m), rtol=1e-5)
+    # and the bias was real: unmasked padded batch differs from the oracle
+    assert any(
+        abs(float(b) - float(t)) > 1e-7 for b, t in zip(biased, truth))
