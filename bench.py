@@ -4,10 +4,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extras": {...}}
 
-Primary metric: end-to-end real-time factor (text -> mel -> HiFi-GAN wav)
-for a batch of 32 LJSpeech-config utterances at the static generation
-length on one chip.  BASELINE.md target: RTF < 0.01 on one v5e chip;
+Primary metric: end-to-end real-time factor (text -> mel -> wav) for a
+batch of 32 LJSpeech-config utterances at the static generation length on
+one chip, through the TPU fast vocoder (HiFi-GAN-iSTFT,
+models/hifigan_istft.py).  The parity HiFi-GAN e2e is reported in extras
+(e2e_ms_parity_vocoder).  BASELINE.md target: RTF < 0.01 on one v5e chip;
 vs_baseline = target_rtf / measured_rtf (>1 = beats the target).
+--torch_ckpt benches on converted reference weights (extras.weights).
 
 Timing methodology (this environment tunnels the TPU through a relay):
 async dispatch acknowledgements are unreliable, so each timed call returns
@@ -82,6 +85,11 @@ def _main():
     parser.add_argument("--phones", type=int, default=160)
     parser.add_argument("--trials", type=int, default=3)
     parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_parity_vocoder", action="store_true",
+                        help="skip the second (parity HiFi-GAN) e2e compile")
+    parser.add_argument("--torch_ckpt", default=None,
+                        help="reference FastSpeech2 .pth.tar: bench on "
+                             "converted quality-bearing weights")
     args = parser.parse_args()
 
     import jax
@@ -90,6 +98,7 @@ def _main():
     from fastspeech2_tpu.configs.config import FastSpeech2Config, OptimConfig
     from fastspeech2_tpu.models import FastSpeech2
     from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+    from fastspeech2_tpu.models.hifigan_istft import HiFiGANiSTFTGenerator
 
     B, T, P = args.batch, args.frames, args.phones
     hop, sr = 256, 22050
@@ -100,17 +109,35 @@ def _main():
     )
     acoustic = FastSpeech2(cfg, dtype=jnp.bfloat16)
     vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
+    istft_vocoder = HiFiGANiSTFTGenerator(dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
     seqs = _realistic_texts(B, P)
     packs = [_pack(seqs, B, P, offset=i * B) for i in range(4)]
     speakers = jnp.zeros((B,), jnp.int32)
 
-    variables = jax.jit(acoustic.init, static_argnames=("max_mel_len", "train"))(
-        {"params": rng, "dropout": rng},
-        speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
-        max_mel_len=T, train=False)
+    weights = "random"
+    if args.torch_ckpt and os.path.exists(args.torch_ckpt):
+        import torch
+
+        from fastspeech2_tpu.convert.from_torch import (
+            fastspeech2_variables_from_torch,
+        )
+
+        sd = torch.load(args.torch_ckpt, map_location="cpu",
+                        weights_only=True)["model"]
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, fastspeech2_variables_from_torch(sd, cfg))
+        weights = "converted"
+    else:
+        variables = jax.jit(
+            acoustic.init, static_argnames=("max_mel_len", "train"))(
+            {"params": rng, "dropout": rng},
+            speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
+            max_mel_len=T, train=False)
     voc_params = jax.jit(vocoder.init)(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
+    ivoc_params = jax.jit(istft_vocoder.init)(
+        rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
     from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
 
     folded_vocoder = FoldedHiFiGAN(voc_params, dtype=jnp.bfloat16)
@@ -121,6 +148,15 @@ def _main():
 
     @jax.jit
     def e2e_sum(variables, voc_params, speakers, texts, src_lens):
+        # primary path: the documented TPU fast vocoder (iSTFT head)
+        out = acoustic.apply(variables, speakers, texts, src_lens,
+                             max_mel_len=T, train=False)
+        wav = istft_vocoder.apply(voc_params, out.postnet_mel)
+        return (jnp.sum(wav.astype(jnp.float32))
+                + jnp.sum(out.mel_len).astype(jnp.float32))
+
+    @jax.jit
+    def e2e_parity_sum(variables, voc_params, speakers, texts, src_lens):
         out = acoustic.apply(variables, speakers, texts, src_lens,
                              max_mel_len=T, train=False)
         wav = folded_vocoder(out.postnet_mel)
@@ -149,13 +185,19 @@ def _main():
          for i in range(4)],
         args.trials)
 
-    e2e_packs = [(variables, voc_params, speakers, jnp.asarray(t),
+    e2e_packs = [(variables, ivoc_params, speakers, jnp.asarray(t),
                   jnp.asarray(l)) for t, l in packs]
+    parity_packs = [(variables, voc_params, speakers, jnp.asarray(t),
+                     jnp.asarray(l)) for t, l in packs]
     mel_packs = [(variables, speakers, jnp.asarray(t), jnp.asarray(l))
                  for t, l in packs]
 
     e2e_raw = timed(e2e_sum, e2e_packs, args.trials)
     mel_raw = timed(mel_sum, mel_packs, args.trials)
+    parity_s = None
+    if not args.skip_parity_vocoder:
+        parity_raw = timed(e2e_parity_sum, parity_packs, args.trials)
+        parity_s = max(parity_raw - floor_s, 1e-6)
 
     e2e_s = max(e2e_raw - floor_s, 1e-6)
     mel_s = max(mel_raw - floor_s, 1e-6)
@@ -179,8 +221,14 @@ def _main():
             "batch": B,
             "static_frames": T,
             "device": str(jax.devices()[0]),
+            "vocoder": "HiFi-GAN-iSTFT (fast variant)",
+            "weights": weights,
         },
     }
+    if parity_s is not None:
+        result["extras"]["e2e_ms_parity_vocoder"] = round(parity_s * 1000, 2)
+        result["extras"]["rtf_parity_vocoder"] = round(
+            parity_s / audio_seconds, 6)
 
     if not args.skip_train:
         from fastspeech2_tpu.training import (
@@ -246,6 +294,19 @@ def _main():
         result["extras"]["train_step_ms_b16"] = round(step_s * 1000, 2)
         result["extras"]["train_mel_frames_per_sec_per_chip"] = round(
             tb * tt / step_s)
+        try:
+            # MFU vs the chip's measured bf16 speed of light
+            # (~197 TF/s on this v5e, docs/tpu_notes.md)
+            ca = step_sum.lower(state, tbatches[0], rng).compile(
+            ).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            if flops > 0:
+                result["extras"]["train_mfu_pct"] = round(
+                    100.0 * flops / step_s / 197e12, 2)
+        except Exception:
+            pass
 
     print(json.dumps(result))
 

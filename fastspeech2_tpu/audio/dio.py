@@ -20,13 +20,17 @@ amplitude-weighted mean of instantaneous frequencies at the first six
 harmonics, where the instantaneous frequency is computed from the spectra
 of a Blackman-windowed segment and its derivative-windowed counterpart.
 
-Differences from pyworld (documented, not behavioral gaps): interval
-tracks are sampled piecewise-constant from the enclosing event pair
-instead of linearly interpolated between interval midpoints, there is no
-decimation before filtering, and contour fixing implements the
-jump-removal and short-run-removal steps but not pyworld's multi-pass
-section extension.  Output contract is identical to the reference path:
-one F0 value (Hz) per mel frame, 0.0 where unvoiced.
+Differences from pyworld (documented): there is no decimation before
+filtering (pyworld's decimation is a speed optimization), and contour
+fixing implements the jump-removal and short-run-removal steps but not
+FixF0Contour's multi-pass section extension (steps 3-4) — on the
+ground-truth accuracy suite (tests/test_dio_accuracy.py: glides, vibrato,
+noise at 5-20 dB SNR, fades) voicing recall is already ~100% and voiced
+p95 error ~1% at 5 dB SNR without it.  Interval tracks ARE linearly
+interpolated between interval temporal midpoints, matching dio.cpp
+GetF0CandidateContour's interp1 semantics.  Output contract is identical
+to the reference path: one F0 value (Hz) per mel frame, 0.0 where
+unvoiced.
 
 Everything is vectorized with static shapes: event lookup uses
 cumulative-max scans instead of event lists, StoneMask windows are padded
@@ -77,25 +81,51 @@ def _event_f0(x, frame_pos, fs):
     def track(sig):
         s0 = sig[:-1]
         s1 = sig[1:]
+        n = s0.shape[0]
         cross = (s0 > 0) & (s1 <= 0)                    # negative-going
         # fractional crossing position between t and t+1
         denom = s0 - s1
         frac = jnp.where(jnp.abs(denom) > 1e-12, s0 / denom, 0.5)
-        pos = jnp.arange(s0.shape[0], dtype=jnp.float32) + frac
-        idx = jnp.arange(s0.shape[0])
+        pos = jnp.arange(n, dtype=jnp.float32) + frac
+        idx = jnp.arange(n)
         # last crossing at or before t / first crossing after t
         prev_idx = jax.lax.associative_scan(
             jnp.maximum, jnp.where(cross, idx, -1))
         next_idx = jax.lax.associative_scan(
-            jnp.minimum, jnp.where(cross, idx, s0.shape[0]), reverse=True)
-        fp = jnp.clip(frame_pos, 0, s0.shape[0] - 1)
-        p_i = prev_idx[fp]
-        n_i = next_idx[jnp.minimum(fp + 1, s0.shape[0] - 1)]
-        valid = (p_i >= 0) & (n_i < s0.shape[0])
-        p_pos = pos[jnp.maximum(p_i, 0)]
-        n_pos = pos[jnp.minimum(n_i, s0.shape[0] - 1)]
-        interval = jnp.maximum(n_pos - p_pos, 1.0)
-        return jnp.where(valid, fs / interval, 0.0)
+            jnp.minimum, jnp.where(cross, idx, n), reverse=True)
+        fp = jnp.clip(frame_pos, 0, n - 1)
+        j_i = prev_idx[fp]                               # crossing j
+        k_i = next_idx[jnp.minimum(fp + 1, n - 1)]       # crossing j+1
+        valid = (j_i >= 0) & (k_i < n)
+        # neighbors for midpoint interpolation: crossings j-1 and j+2
+        jm1_i = prev_idx[jnp.clip(j_i - 1, 0, n - 1)]
+        kp1_i = next_idx[jnp.clip(k_i + 1, 0, n - 1)]
+        p_j = pos[jnp.clip(j_i, 0, n - 1)]
+        p_k = pos[jnp.clip(k_i, 0, n - 1)]
+        p_jm1 = pos[jnp.clip(jm1_i, 0, n - 1)]
+        p_kp1 = pos[jnp.clip(kp1_i, 0, n - 1)]
+        # interval values at their temporal midpoints (dio.cpp
+        # GetF0CandidateContour: interp1 over (midpoint, fs/interval))
+        v_mid = fs / jnp.maximum(p_k - p_j, 1.0)
+        m_mid = 0.5 * (p_j + p_k)
+        v_left = fs / jnp.maximum(p_j - p_jm1, 1.0)
+        m_left = 0.5 * (p_jm1 + p_j)
+        v_right = fs / jnp.maximum(p_kp1 - p_k, 1.0)
+        m_right = 0.5 * (p_k + p_kp1)
+        has_left = valid & (jm1_i >= 0) & (jm1_i < j_i)
+        has_right = valid & (kp1_i < n) & (kp1_i > k_i)
+        t = fp.astype(jnp.float32)
+
+        def lerp(t0, v0, t1, v1):
+            w = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-6), 0.0, 1.0)
+            return v0 + w * (v1 - v0)
+
+        right_val = jnp.where(has_right,
+                              lerp(m_mid, v_mid, m_right, v_right), v_mid)
+        left_val = jnp.where(has_left,
+                             lerp(m_left, v_left, m_mid, v_mid), v_mid)
+        f0 = jnp.where(t >= m_mid, right_val, left_val)
+        return jnp.where(valid, f0, 0.0)
 
     return jnp.stack([track(x), track(-x), track(dx), track(-dx)])
 

@@ -50,7 +50,9 @@ def main(argv=None):
                      ("upsample_kernel_sizes", "upsample_kernel_sizes"),
                      ("upsample_initial_channel", "upsample_initial_channel"),
                      ("resblock_kernel_sizes", "resblock_kernel_sizes"),
-                     ("resblock_dilation_sizes", "resblock_dilation_sizes")]:
+                     ("resblock_dilation_sizes", "resblock_dilation_sizes"),
+                     ("gen_istft_n_fft", "gen_istft_n_fft"),
+                     ("gen_istft_hop_size", "gen_istft_hop_size")]:
         if src in cfg:
             v = cfg[src]
             if isinstance(v, list):

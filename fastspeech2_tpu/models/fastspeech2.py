@@ -55,6 +55,12 @@ class FastSpeech2(nn.Module):
         e_control: float = 1.0,
         d_control: float = 1.0,
         train: bool = False,
+        truncate_decoder: bool = True,
+        # True mirrors the reference's training-time truncation to
+        # max_seq_len (transformer/Models.py:154-162); inference callers
+        # pass False to reproduce the reference's eval-time PE extension
+        # with NO truncation (Models.py:82-87,145-151) for one long
+        # utterance.
     ) -> FastSpeech2Output:
         cfg = self.config
         max_src_len = texts.shape[1]
@@ -124,7 +130,8 @@ class FastSpeech2(nn.Module):
             ffn_backend=cfg.ffn_backend,
             remat=cfg.remat,
             name="decoder",
-        )(x, mel_pad_mask, deterministic=deterministic)
+        )(x, mel_pad_mask, deterministic=deterministic,
+          truncate_to_max_len=truncate_decoder)
 
         mel = TorchDense(cfg.n_mel_channels, dtype=self.dtype,
                          name="mel_linear")(x)

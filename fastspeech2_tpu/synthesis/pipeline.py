@@ -38,14 +38,15 @@ class Synthesizer:
         self.text_bucket = text_bucket
         self._lexicon = None
 
-        @partial(jax.jit, static_argnames=("max_mel_len",))
+        @partial(jax.jit,
+                 static_argnames=("max_mel_len", "truncate_decoder"))
         def _forward(variables, speakers, texts, src_lens, p, e, d,
-                     max_mel_len):
+                     max_mel_len, truncate_decoder=True):
             return model.apply(
                 variables, speakers, texts, src_lens,
                 max_mel_len=max_mel_len,
                 p_control=p, e_control=e, d_control=d,
-                train=False,
+                train=False, truncate_decoder=truncate_decoder,
             )
 
         self._forward = _forward
@@ -55,13 +56,15 @@ class Synthesizer:
         self._fused = None
         inner = getattr(vocoder, "raw_apply", None)
         if inner is not None:
-            @partial(jax.jit, static_argnames=("max_mel_len",))
+            @partial(jax.jit,
+                     static_argnames=("max_mel_len", "truncate_decoder"))
             def _fused(variables, voc_params, speakers, texts, src_lens,
-                       p, e, d, max_mel_len):
+                       p, e, d, max_mel_len, truncate_decoder=True):
                 out = model.apply(
                     variables, speakers, texts, src_lens,
                     max_mel_len=max_mel_len,
-                    p_control=p, e_control=e, d_control=d, train=False)
+                    p_control=p, e_control=e, d_control=d, train=False,
+                    truncate_decoder=truncate_decoder)
                 wav = inner(voc_params, out.postnet_mel)
                 return wav, out
 
@@ -90,9 +93,25 @@ class Synthesizer:
 
     # -- inference -------------------------------------------------------
 
+    def _needed_mel_len(self, out):
+        """Unclipped total predicted frames (duration_rounded is never
+        truncated, so this sees past the static max_mel_len cap)."""
+        return int(np.asarray(out.duration_rounded).sum(axis=1).max())
+
+    def _extended_mel_len(self, need):
+        # coarse 512-frame buckets bound the number of long-utterance
+        # recompiles
+        return round_up(need, 512)
+
     def infer_ids(self, id_seqs, speakers=None, p_control=1.0,
                   e_control=1.0, d_control=1.0):
-        """id_seqs: list of int phone-ID arrays -> FastSpeech2Output."""
+        """id_seqs: list of int phone-ID arrays -> FastSpeech2Output.
+
+        Utterances whose predicted duration exceeds the default static
+        frame length are re-dispatched at a longer static length with
+        decoder truncation OFF — the reference's eval behavior
+        (transformer/Models.py:82-87,145-151: PE regenerated, no
+        truncation at inference)."""
         B = len(id_seqs)
         P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
         texts = np.zeros((B, P), np.int32)
@@ -109,6 +128,16 @@ class Synthesizer:
             jnp.float32(d_control),
             max_mel_len=self.max_mel_len,
         )
+        need = self._needed_mel_len(out)
+        if need > self.max_mel_len:
+            out = self._forward(
+                self.variables, jnp.asarray(speakers), jnp.asarray(texts),
+                jnp.asarray(src_lens),
+                jnp.float32(p_control), jnp.float32(e_control),
+                jnp.float32(d_control),
+                max_mel_len=self._extended_mel_len(need),
+                truncate_decoder=False,
+            )
         return out
 
     def synthesize(self, texts, speakers=None, p_control=1.0, e_control=1.0,
@@ -131,6 +160,17 @@ class Synthesizer:
                 jnp.asarray(src_lens),
                 jnp.float32(p_control), jnp.float32(e_control),
                 jnp.float32(d_control), max_mel_len=self.max_mel_len)
+            need = self._needed_mel_len(out)
+            if need > self.max_mel_len:
+                # re-dispatch at an extended static length, untruncated
+                wav_float, out = self._fused(
+                    self.variables, self.vocoder.params,
+                    jnp.asarray(speakers), jnp.asarray(texts_arr),
+                    jnp.asarray(src_lens),
+                    jnp.float32(p_control), jnp.float32(e_control),
+                    jnp.float32(d_control),
+                    max_mel_len=self._extended_mel_len(need),
+                    truncate_decoder=False)
             pp = self.preprocess_config["preprocessing"]
             hop = pp["stft"]["hop_length"]
             max_wav_value = pp["audio"]["max_wav_value"]

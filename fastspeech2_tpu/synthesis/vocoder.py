@@ -24,13 +24,13 @@ class HiFiGANVocoder:
                  folded="auto"):
         """folded: use the lane-folded inference path
         (models/hifigan_folded.py) — "auto" enables it on TPU, where it is
-        ~20% faster end-to-end and numerically identical."""
+        ~20% faster end-to-end and numerically identical.  A config with
+        "gen_istft_n_fft" selects the iSTFT-head fast variant
+        (models/hifigan_istft.py) instead; folding does not apply there.
+        """
         if config is None:
             config = {}
-        self.generator = HiFiGANGenerator(
-            upsample_rates=tuple(config.get("upsample_rates", (8, 8, 2, 2))),
-            upsample_kernel_sizes=tuple(
-                config.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+        common = dict(
             upsample_initial_channel=config.get(
                 "upsample_initial_channel", 512),
             resblock_kernel_sizes=tuple(
@@ -42,6 +42,29 @@ class HiFiGANVocoder:
             n_mel_channels=config.get("num_mels", 80),
             dtype=dtype,
         )
+        istft_head = "gen_istft_n_fft" in config
+        if istft_head:
+            from fastspeech2_tpu.models.hifigan_istft import (
+                HiFiGANiSTFTGenerator,
+            )
+
+            self.generator = HiFiGANiSTFTGenerator(
+                upsample_rates=tuple(config.get("upsample_rates", (8, 8))),
+                upsample_kernel_sizes=tuple(
+                    config.get("upsample_kernel_sizes", (16, 16))),
+                gen_istft_n_fft=config["gen_istft_n_fft"],
+                gen_istft_hop_size=config.get("gen_istft_hop_size", 4),
+                **common,
+            )
+            folded = False
+        else:
+            self.generator = HiFiGANGenerator(
+                upsample_rates=tuple(
+                    config.get("upsample_rates", (8, 8, 2, 2))),
+                upsample_kernel_sizes=tuple(
+                    config.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+                **common,
+            )
         if params is None:
             # random init (keeps the pipeline runnable without weights)
             mel = jnp.zeros((1, 8, self.generator.n_mel_channels))
@@ -141,8 +164,10 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
     ({"generator": state_dict}) which is converted on the fly.
     """
     name = model_config["vocoder"]["model"]
-    if name == "HiFi-GAN":
-        config = load_hifigan_config()
+    if name in ("HiFi-GAN", "HiFi-GAN-iSTFT"):
+        config = load_hifigan_config(
+            os.path.join(_HIFIGAN_DIR, "config_istft.json")
+            if name == "HiFi-GAN-iSTFT" else None)
         if ckpt_path is None:
             # look for generator_<speaker>.pth.tar next to the bundled
             # config, mirroring utils/model.py:58-65's speaker selection
@@ -152,7 +177,16 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
             if os.path.exists(candidate):
                 ckpt_path = candidate
         params = None
-        if ckpt_path and os.path.exists(ckpt_path):
+        if ckpt_path and os.path.isdir(ckpt_path):
+            # native checkpoint: an orbax step dir written by
+            # train_vocoder (training/vocoder.py save_checkpoint);
+            # restore the raw pytree and pick the generator params
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                tree = ckptr.restore(os.path.abspath(ckpt_path))
+            params = {"params": tree["gen_params"]}
+        elif ckpt_path and os.path.exists(ckpt_path):
             from fastspeech2_tpu.convert.from_torch import (
                 hifigan_params_from_torch,
             )

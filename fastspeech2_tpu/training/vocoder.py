@@ -271,8 +271,18 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     all-reduce)."""
     from fastspeech2_tpu.training.checkpoint import save_checkpoint
 
-    gen = HiFiGANGenerator(**(generator_config or {}),
-                           n_mel_channels=n_mel_channels)
+    gen_cfg = dict(generator_config or {})
+    if "gen_istft_n_fft" in gen_cfg:
+        # fast-variant generator (models/hifigan_istft.py); same io
+        # contract, trains against the same MPD/MSD discriminators
+        from fastspeech2_tpu.models.hifigan_istft import (
+            HiFiGANiSTFTGenerator,
+        )
+
+        gen = HiFiGANiSTFTGenerator(**gen_cfg,
+                                    n_mel_channels=n_mel_channels)
+    else:
+        gen = HiFiGANGenerator(**gen_cfg, n_mel_channels=n_mel_channels)
     disc = HiFiGANDiscriminators(**(discriminator_config or {}))
     mel_fn = MelSpectrogram(
         hop_length=256, n_mel_channels=n_mel_channels,

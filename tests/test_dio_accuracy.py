@@ -1,0 +1,112 @@
+"""DIO+StoneMask accuracy contract (round-1 verdict #3).
+
+pyworld is not installable in this environment, so the port is pinned two
+ways: (a) hard ground-truth accuracy bounds on signals with analytically
+known F0 — steady tones, glides, vibrato, additive noise down to 5 dB SNR,
+pure noise, silence-bounded segments; (b) a direct pyworld cross-test that
+activates automatically wherever pyworld IS importable
+(pytest.importorskip), quantifying the delta against the reference's
+actual extractor (preprocessor/preprocessor.py:182-187)."""
+
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.audio.dio import dio_f0
+
+FS, HOP = 22050, 256
+AMPS = (1.0, 0.6, 0.4, 0.25, 0.15, 0.1)
+
+
+def _harmonic(f0_t, fs=FS, amps=AMPS):
+    phase = 2 * np.pi * np.cumsum(f0_t) / fs
+    y = sum(a * np.sin(k * phase) for k, a in enumerate(amps, 1))
+    return (y / np.abs(y).max()).astype(np.float32)
+
+
+def _errs(est, f0_t):
+    n = len(est)
+    gt = f0_t[np.minimum(np.arange(n) * HOP, len(f0_t) - 1)]
+    inner = slice(4, n - 4)
+    v = est[inner] > 0
+    err = np.abs(est[inner][v] - gt[inner][v]) / gt[inner][v]
+    return v.mean(), np.median(err), np.percentile(err, 95)
+
+
+@pytest.mark.parametrize(
+    "name,make_f0,med_tol,p95_tol",
+    [
+        ("steady", lambda t: np.full(t.shape, 220.0), 5e-4, 1e-3),
+        ("glide", lambda t: 120.0 * 2 ** (t / 2.0), 1e-3, 2e-3),
+        ("vibrato",
+         lambda t: 200.0 + 6.0 * np.sin(2 * np.pi * 5.0 * t), 1e-3, 2e-3),
+    ],
+)
+def test_clean_accuracy(name, make_f0, med_tol, p95_tol):
+    T = int(2.0 * FS)
+    t = np.arange(T) / FS
+    f0_t = make_f0(t)
+    voiced, med, p95 = _errs(np.asarray(dio_f0(_harmonic(f0_t), FS, HOP)),
+                             f0_t)
+    assert voiced > 0.98, voiced
+    assert med < med_tol, (name, med)
+    assert p95 < p95_tol, (name, p95)
+
+
+@pytest.mark.parametrize("snr_db,p95_tol", [(10, 0.01), (5, 0.02)])
+def test_noisy_accuracy(snr_db, p95_tol):
+    T = int(2.0 * FS)
+    t = np.arange(T) / FS
+    f0_t = 160.0 + 30.0 * np.sin(2 * np.pi * 1.2 * t)
+    y = _harmonic(f0_t)
+    rng = np.random.RandomState(1)
+    n = rng.randn(T).astype(np.float32)
+    n *= np.sqrt((y ** 2).mean() / (n ** 2).mean()) * 10 ** (-snr_db / 20)
+    voiced, med, p95 = _errs(np.asarray(dio_f0(y + n, FS, HOP)), f0_t)
+    assert voiced > 0.95
+    assert p95 < p95_tol, (snr_db, p95)
+
+
+def test_noise_is_unvoiced():
+    rng = np.random.RandomState(0)
+    est = np.asarray(dio_f0(rng.randn(int(1.5 * FS)).astype(np.float32),
+                            FS, HOP))
+    assert (est > 0).mean() < 0.05
+
+
+def test_voicing_boundaries():
+    T = int(2.0 * FS)
+    y = np.zeros(T, np.float32)
+    seg = _harmonic(np.full(int(0.8 * FS), 180.0))
+    start = int(0.5 * FS)
+    y[start: start + len(seg)] = seg
+    est = np.asarray(dio_f0(y, FS, HOP))
+    v = np.where(est > 0)[0]
+    lo, hi = start // HOP, (start + len(seg)) // HOP
+    assert abs(int(v.min()) - lo) <= 3
+    assert abs(int(v.max()) - hi) <= 3
+    # voiced values accurate
+    mid = est[(lo + 5): (hi - 5)]
+    assert np.all(mid > 0)
+    assert np.abs(mid - 180.0).max() / 180.0 < 1e-3
+
+
+def test_vs_pyworld_golden():
+    """Runs wherever pyworld is importable: quantify the port's delta vs
+    the reference's dio+stonemask on the same signals."""
+    pw = pytest.importorskip("pyworld")
+    T = int(2.0 * FS)
+    t = np.arange(T) / FS
+    for f0_t in (np.full(T, 220.0), 120.0 * 2 ** (t / 2.0),
+                 200.0 + 6.0 * np.sin(2 * np.pi * 5.0 * t)):
+        y = _harmonic(f0_t).astype(np.float64)
+        frame_period = HOP / FS * 1000.0
+        _f0, _t = pw.dio(y, FS, frame_period=frame_period)
+        ref = pw.stonemask(y, _f0, _t, FS)
+        est = np.asarray(dio_f0(y.astype(np.float32), FS, HOP))
+        n = min(len(ref), len(est)) - 4
+        ref, est = ref[4:n], est[4:n]
+        both = (ref > 0) & (est > 0)
+        # voicing agreement and voiced-frame Hz error vs pyworld
+        assert ((ref > 0) == (est > 0)).mean() > 0.95
+        rel = np.abs(est[both] - ref[both]) / ref[both]
+        assert np.percentile(rel, 95) < 0.02

