@@ -9,8 +9,10 @@ ResBlocks (k=3,7,11; dilations (1,3,5))] -> leaky_relu -> conv_post(->1, k7)
 (mirroring remove_weight_norm() at load, utils/model.py:68).
 
 Everything here is channels-last [B, T, C]; XLA lowers the transposed convs
-and dilated convs onto the MXU.  Inference-only (the reference ships no
-vocoder trainer; training-side discriminators are out of scope to match).
+and dilated convs onto the MXU.  Trainable: MPD/MSD discriminators live in
+models/hifigan_disc.py and the GAN trainer in training/vocoder.py (a
+capability superset — the reference ships no vocoder trainer).  For the
+TPU-fast non-parity topology see models/hifigan_istft.py.
 """
 
 from typing import Sequence, Tuple

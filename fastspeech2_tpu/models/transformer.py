@@ -121,7 +121,12 @@ class ConvFeedForward(nn.Module):
 
     In deterministic mode with a Pallas backend the whole block runs as one
     fused VMEM-resident kernel (ops/pallas_ffn.py); training (dropout
-    active) and CPU use the XLA formulation.  Both share the same params.
+    active), hidden-sharded TP, and CPU use the XLA formulation.  Both
+    share the same params.  Measured resolution (docs/tpu_notes.md): XLA
+    runs the training FFN fwd+bwd at ~230/167 TF/s on-chip — at the bf16
+    speed of light — so no training/TP kernel is warranted; TP value
+    parity and the partial-sum collective are pinned by
+    test_pallas_ffn.py::test_xla_ffn_tp_parity_hidden_sharded.
     """
 
     d_model: int

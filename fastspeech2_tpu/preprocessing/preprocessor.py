@@ -3,8 +3,10 @@
 Reproduces the reference pipeline (preprocessor/preprocessor.py:16-314):
 per utterance, read the "phones" alignment tier, trim surrounding silences,
 round interval edges to mel frames for durations, slice the wav, estimate
-F0 (JAX YIN in place of pyworld DIO+StoneMask — same contract: Hz per mel
-frame, 0 = unvoiced), compute mel+energy with the JAX TacotronSTFT
+F0 (native JAX DIO+StoneMask port, audio/dio.py — the default, same
+algorithm family and contract as the reference's pyworld call: Hz per mel
+frame, 0 = unvoiced; a YIN estimator stays selectable via
+`preprocessing.pitch.estimator: yin`), compute mel+energy with the JAX TacotronSTFT
 equivalent, linearly interpolate unvoiced F0, average pitch/energy per
 phoneme, write .npy features; then corpus-wide mean/std normalization with
 IQR-outlier-free min/max into stats.json, speakers.json, and shuffled

@@ -3,10 +3,11 @@
 English mirrors the reference flow (synthesize.py:32-56): strip trailing
 punctuation, split on punctuation/whitespace, look each word up in the
 lexicon, fall back to G2P for OOVs, map non-word leftovers to {sp}.  The
-reference's OOV fallback is the `g2p_en` neural model; when that package is
-absent we fall back to a deterministic rule-based letter-to-sound converter
-(greedy longest-match over common English grapheme chunks) — crude but
-intelligible, and every lexicon word is unaffected.
+reference's OOV fallback is the `g2p_en` neural model; when that package
+is absent we fall back to the context-sensitive letter-to-sound engine in
+text/letter_to_sound.py (NRL-style context rules + suffix morphology +
+stress assignment; 99% phone accuracy on the embedded gold set,
+tests/test_letter_to_sound.py).  Every lexicon word is unaffected.
 
 Mandarin mirrors synthesize.py:59-84: text -> TONE3 pinyin (via pypinyin if
 installed; otherwise the input must already be tone-numbered pinyin
@@ -14,29 +15,6 @@ tokens) -> lexicon initial/final phones, OOV -> "sp".
 """
 
 import re
-
-_RULES = [
-    # (grapheme, phones) — longest chunks first within the greedy matcher
-    ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"), ("ough", "AO1"),
-    ("augh", "AE1 F"), ("eigh", "EY1"), ("igh", "AY1"),
-    ("tch", "CH"), ("dge", "JH"), ("sch", "S K"), ("chr", "K R"),
-    ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
-    ("ck", "K"), ("ng", "NG"), ("qu", "K W"), ("gh", "G"), ("kn", "N"),
-    ("wr", "R"), ("mb", "M"), ("ce", "S"), ("ci", "S IH0"), ("cy", "S IY0"),
-    ("ge", "JH"), ("gi", "JH IH0"), ("gy", "JH IY0"),
-    ("oo", "UW1"), ("ee", "IY1"), ("ea", "IY1"), ("ai", "EY1"),
-    ("ay", "EY1"), ("oa", "OW1"), ("ow", "OW1"), ("ou", "AW1"),
-    ("oi", "OY1"), ("oy", "OY1"), ("au", "AO1"), ("aw", "AO1"),
-    ("ar", "AA1 R"), ("er", "ER0"), ("ir", "ER1"), ("or", "AO1 R"),
-    ("ur", "ER1"), ("oe", "OW1"), ("ie", "IY1"), ("ue", "UW1"),
-    ("a", "AE1"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH1"),
-    ("f", "F"), ("g", "G"), ("h", "HH"), ("i", "IH1"), ("j", "JH"),
-    ("k", "K"), ("l", "L"), ("m", "M"), ("n", "N"), ("o", "AA1"),
-    ("p", "P"), ("q", "K"), ("r", "R"), ("s", "S"), ("t", "T"),
-    ("u", "AH1"), ("v", "V"), ("w", "W"), ("x", "K S"), ("y", "Y"),
-    ("z", "Z"),
-]
-_RULES.sort(key=lambda r: -len(r[0]))
 
 try:  # pragma: no cover - optional dependency
     from g2p_en import G2p as _G2p
@@ -51,21 +29,9 @@ try:  # pragma: no cover - optional dependency
 
 except ImportError:
     def _oov_to_phones(word):
-        word = word.lower()
-        phones = []
-        # final silent e
-        if len(word) > 2 and word.endswith("e") and word[-2] not in "aeiou":
-            word = word[:-1]
-        i = 0
-        while i < len(word):
-            for chunk, ph in _RULES:
-                if word.startswith(chunk, i):
-                    phones.extend(ph.split())
-                    i += len(chunk)
-                    break
-            else:
-                i += 1  # drop unknown character
-        return phones
+        from fastspeech2_tpu.text.letter_to_sound import letter_to_sound
+
+        return letter_to_sound(word)
 
 
 def read_lexicon(lex_path):

@@ -103,3 +103,40 @@ def test_model_with_pallas_ffn_interpret():
                           src_lens, max_mel_len=16, train=False)
     np.testing.assert_allclose(np.asarray(out_p.postnet_mel),
                                np.asarray(out_x.postnet_mel), atol=1e-5)
+
+
+def test_xla_ffn_tp_parity_hidden_sharded():
+    """Round-1 verdict #6: under tensor parallelism the FFN takes the XLA
+    path (measured at ~230/167 TF/s fwd/bwd on-chip — docs/tpu_notes.md —
+    so a fused TP kernel has nothing to win).  Pin that hidden-dim
+    sharding produces identical values to the unsharded reference and
+    that the partial products are combined with a collective rather than
+    an activations all-gather."""
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 simulated devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    B, L, D, H = 2, 16, 8, 32
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    w1 = jnp.asarray(rng.randn(9, D, H) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(H) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(1, H, D) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    g = jnp.ones(D, jnp.float32)
+    beta = jnp.zeros(D, jnp.float32)
+
+    ref = xla_conv_ffn(x, w1, b1, w2, b2, g, beta)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, None, "model")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("model")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P(None, "model", None)))
+    f = jax.jit(xla_conv_ffn)
+    out = f(x, w1s, b1s, w2s, b2, g, beta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    hlo = f.lower(x, w1s, b1s, w2s, b2, g, beta).compile().as_text()
+    assert ("all-reduce" in hlo) or ("reduce-scatter" in hlo), (
+        "expected a partial-sum collective in the TP-sharded FFN")
