@@ -198,6 +198,10 @@ def _main():
     if not args.skip_parity_vocoder:
         parity_raw = timed(e2e_parity_sum, parity_packs, args.trials)
         parity_s = max(parity_raw - floor_s, 1e-6)
+    # batch-1 latency (BASELINE.json: "text->wav, LJSpeech batch 1/32")
+    b1_packs = [(variables, ivoc_params, speakers[:1],
+                 jnp.asarray(t[:1]), jnp.asarray(l[:1])) for t, l in packs]
+    b1_s = max(timed(e2e_sum, b1_packs, args.trials) - floor_s, 1e-6)
 
     e2e_s = max(e2e_raw - floor_s, 1e-6)
     mel_s = max(mel_raw - floor_s, 1e-6)
@@ -229,6 +233,8 @@ def _main():
         result["extras"]["e2e_ms_parity_vocoder"] = round(parity_s * 1000, 2)
         result["extras"]["rtf_parity_vocoder"] = round(
             parity_s / audio_seconds, 6)
+    result["extras"]["e2e_ms_b1"] = round(b1_s * 1000, 2)
+    result["extras"]["rtf_b1"] = round(b1_s / (T * hop / sr), 6)
 
     if not args.skip_train:
         from fastspeech2_tpu.training import (
