@@ -160,12 +160,14 @@ class ConvFeedForward(nn.Module):
             L, D, H = x.shape[1], self.d_model, self.d_inner
             k1, k2 = self.kernel_size
             isz = jnp.dtype(x.dtype).itemsize
-            est = (isz * (2 * L * D                 # io tiles
+            est = (isz * (4 * L * D                 # io tiles, 2x buffered
                           + k1 * D * H + k2 * H * D  # weights
                           + (L + k1 - 1) * D         # xpad scratch
                           + (L + k2 - 1) * H)        # hpad scratch
                    + 4 * (L * H + L * D))            # fp32 acc + y
-            if est > 12 * 1024 * 1024:
+            # 14 MB of ~16 MB/core: the bf16 [32, 896, 256->1024] shape
+            # (~13.5 MB by this estimate) is measured-good on v5e
+            if est > 14 * 1024 * 1024:
                 backend = "xla"
         if deterministic and backend in ("pallas", "pallas_interpret"):
             from fastspeech2_tpu.ops.pallas_ffn import fused_conv_ffn

@@ -17,6 +17,12 @@ fused dispatch per group.
                       "long": bool (default: auto for texts > 100 chars —
                       sentence-split long-form synthesis)}
                      -> audio/wav bytes (RIFF, int16, corpus sample rate)
+  POST /synthesize_stream  same payload -> chunked raw PCM16
+                     (audio/L16;rate=<sr>;channels=1): each sentence's
+                     audio is flushed as soon as it is synthesized, so
+                     playback can start before long texts finish.
+                     Sentences from concurrent streams coalesce into the
+                     same fused dispatches as /synthesize requests.
   GET  /healthz      -> {"status": "ok"}
   GET  /stats        -> {"requests": N, "batches": M, "mean_batch": ...}
 
@@ -97,6 +103,31 @@ class BatchingSynthesizer:
         if req.error is not None:
             raise req.error
         return req.result
+
+    def synthesize_stream(self, text, speaker=0, p_control=1.0,
+                          e_control=1.0, d_control=1.0, timeout=120.0,
+                          pause_ms=120.0):
+        """Generator of int16 waveform chunks, one per sentence.
+
+        Each sentence enters the shared coalescing queue, so sentences
+        from concurrent streams (and ordinary /synthesize requests) share
+        fused dispatches.  Inter-sentence pauses are emitted as silence
+        chunks, matching synthesize_long's output when concatenated."""
+        import re
+
+        import numpy as np
+
+        chunks = [c.strip() for c in
+                  re.split(r"(?<=[.!?;:])\s+", text.strip()) if c.strip()]
+        sr = self.synthesizer.preprocess_config["preprocessing"]["audio"][
+            "sampling_rate"]
+        pause = np.zeros(int(sr * pause_ms / 1000.0), np.int16)
+        for i, chunk in enumerate(chunks):
+            wav = self.synthesize(chunk, speaker, p_control, e_control,
+                                  d_control, timeout=timeout)
+            yield wav
+            if i < len(chunks) - 1:
+                yield pause
 
     # -- dispatcher -----------------------------------------------------
     def _drain(self):
@@ -198,18 +229,55 @@ class TTSServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _read_payload(self):
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                text = payload["text"]
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError("'text' must be a non-empty string")
+                return payload, text
+
+            def _stream(self, payload, text):
+                """Chunked raw-PCM16 response, one chunk per sentence."""
+                gen = server.batcher.synthesize_stream(
+                    text,
+                    speaker=payload.get("speaker", 0),
+                    p_control=payload.get("pitch_control", 1.0),
+                    e_control=payload.get("energy_control", 1.0),
+                    d_control=payload.get("duration_control", 1.0),
+                )
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    f"audio/L16;rate={server.sampling_rate};channels=1")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for wav in gen:
+                        data = wav.tobytes()
+                        if not data:
+                            continue
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+                finally:
+                    self.wfile.write(b"0\r\n\r\n")
+
             def do_POST(self):
-                if self.path != "/synthesize":
+                if self.path not in ("/synthesize", "/synthesize_stream"):
                     self._json(404, {"error": "not found"})
                     return
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
-                    text = payload["text"]
-                    if not isinstance(text, str) or not text.strip():
-                        raise ValueError("'text' must be a non-empty string")
+                    payload, text = self._read_payload()
                 except (ValueError, KeyError, json.JSONDecodeError) as exc:
                     self._json(400, {"error": str(exc)})
+                    return
+                if self.path == "/synthesize_stream":
+                    try:
+                        self._stream(payload, text)
+                    except Exception:
+                        pass   # mid-stream failure: connection closes
                     return
                 # long texts take the sentence-splitting path; default
                 # auto-routes anything the reference would truncate

@@ -24,6 +24,17 @@ import jax  # noqa: E402
 # for tests (the env var alone is not enough).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# re-compiling near-identical train/eval graphs (distinct jit closures
+# don't share the in-process trace cache, but they DO share this disk
+# cache, which keys on the HLO hash).  Safe on the CPU platform; the
+# axon-backend hang documented in docs/tpu_notes.md does not apply here.
+_CACHE_DIR = os.environ.get("FASTSPEECH2_TPU_TEST_JIT_CACHE",
+                            "/tmp/fastspeech2_tpu_test_jit_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 REFERENCE = "/root/reference"

@@ -68,7 +68,8 @@ def test_noisy_accuracy(snr_db, p95_tol):
 
 def test_noise_is_unvoiced():
     rng = np.random.RandomState(0)
-    est = np.asarray(dio_f0(rng.randn(int(1.5 * FS)).astype(np.float32),
+    # same length as the clean/noisy tests so the dio jit cache is shared
+    est = np.asarray(dio_f0(rng.randn(int(2.0 * FS)).astype(np.float32),
                             FS, HOP))
     assert (est > 0).mean() < 0.05
 

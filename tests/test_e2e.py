@@ -33,7 +33,10 @@ def _tiny_model_config():
 
 def _train_config(root):
     return {
-        "bucket": {"text": 8, "mel": 32},
+        # one bucket covering every synthetic utterance (phones <= 24,
+        # mel <= 192): a single compiled train-step shape instead of
+        # one compile per (text, mel) bucket combination
+        "bucket": {"text": 24, "mel": 192},
         "path": {
             "ckpt_path": os.path.join(root, "ckpt"),
             "log_path": os.path.join(root, "log"),

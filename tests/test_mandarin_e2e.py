@@ -66,7 +66,8 @@ def zh_workspace(tmp_path_factory):
         "vocoder": {"model": "none", "speaker": "universal"},
     }
     train = {
-        "bucket": {"text": 8, "mel": 32},
+        # single-bucket shapes: one train-step compile (see test_e2e.py)
+        "bucket": {"text": 24, "mel": 192},
         "path": {
             "ckpt_path": os.path.join(root, "ckpt"),
             "log_path": os.path.join(root, "log"),

@@ -206,3 +206,39 @@ def test_http_stats(server):
     with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
         stats = json.loads(r.read())
     assert set(stats) == {"requests", "batches", "mean_batch"}
+
+
+def test_http_synthesize_stream_chunks(server):
+    """The streaming endpoint must emit raw PCM16 over chunked transfer,
+    one chunk per sentence plus silence gaps, concatenating to the same
+    total audio the long-form path produces."""
+    body = json.dumps({"text": "hello world. how are you?"}).encode()
+    req = urllib.request.Request(
+        _url(server, "/synthesize_stream"), data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        ctype = r.headers["Content-Type"]
+        assert ctype.startswith("audio/L16")
+        data = r.read()   # urllib de-chunks transparently
+    pcm = np.frombuffer(data, np.int16)
+    # two sentences + one 120 ms pause
+    sr = 22050
+    assert len(pcm) > int(sr * 0.12)
+    # the pause must be present as a run of exact zeros
+    pause_len = int(sr * 0.12)
+    zeros = np.where(pcm == 0)[0]
+    assert len(zeros) >= pause_len
+
+
+def test_synthesize_stream_generator(synthesizer):
+    from fastspeech2_tpu.serving import BatchingSynthesizer
+
+    b = BatchingSynthesizer(synthesizer, max_batch_size=4, max_wait_ms=5.0)
+    try:
+        chunks = list(b.synthesize_stream("one two. three four. five six."))
+    finally:
+        b.stop()
+    # 3 sentences + 2 pauses
+    assert len(chunks) == 5
+    assert all(c.dtype == np.int16 for c in chunks)
+    assert np.all(chunks[1] == 0) and np.all(chunks[3] == 0)
