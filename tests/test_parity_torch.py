@@ -291,3 +291,64 @@ def test_multi_speaker_parity(ref, tmp_path):
     np.testing.assert_allclose(
         np.asarray(f_out.postnet_mel), t_out[1].numpy(), atol=2e-4,
         rtol=1e-4)
+
+
+def test_frame_level_variance_parity(ref):
+    """Frame-level pitch/energy (reference model/modules.py:138-151 branch):
+    teacher-forced parity against the torch model with [B, T] targets, and
+    a working inference path."""
+    from fastspeech2_tpu.configs.config import FastSpeech2Config
+    from fastspeech2_tpu.convert.from_torch import (
+        fastspeech2_variables_from_torch,
+    )
+    from fastspeech2_tpu.models import FastSpeech2
+
+    preprocess, model_cfg = _ljspeech_configs(ref.root)
+    preprocess["preprocessing"]["pitch"]["feature"] = "frame_level"
+    preprocess["preprocessing"]["energy"]["feature"] = "frame_level"
+    torch.manual_seed(1)
+    tmodel = ref.model.FastSpeech2(preprocess, model_cfg).eval()
+    cfg = FastSpeech2Config.build(preprocess, model_cfg)
+    assert cfg.pitch_feature_level == "frame_level"
+    fmodel = FastSpeech2(cfg)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, fastspeech2_variables_from_torch(
+            tmodel.state_dict(), cfg))
+
+    speakers, texts, src_lens, durations, mel_lens, T, _, _ = _batch(seed=3)
+    rng = np.random.RandomState(7)
+    pitch = rng.uniform(-2.0, 8.0, size=(2, T)).astype(np.float32)
+    energy = rng.uniform(-1.0, 7.0, size=(2, T)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(speakers), torch.from_numpy(texts),
+            torch.from_numpy(src_lens), int(src_lens.max()),
+            mels=None, mel_lens=torch.from_numpy(mel_lens), max_mel_len=T,
+            p_targets=torch.from_numpy(pitch),
+            e_targets=torch.from_numpy(energy),
+            d_targets=torch.from_numpy(durations),
+        )
+    f_out = jax.jit(
+        fmodel.apply, static_argnames=("max_mel_len", "train"))(
+        variables, jnp.asarray(speakers), jnp.asarray(texts),
+        jnp.asarray(src_lens), mel_lens=jnp.asarray(mel_lens),
+        max_mel_len=T, p_targets=jnp.asarray(pitch),
+        e_targets=jnp.asarray(energy), d_targets=jnp.asarray(durations),
+        train=False)
+    np.testing.assert_allclose(
+        np.asarray(f_out.postnet_mel), t_out[1].numpy(), atol=2e-4,
+        rtol=1e-4)
+    assert f_out.pitch_prediction.shape == (2, T)   # frame-level output
+    np.testing.assert_allclose(
+        np.asarray(f_out.pitch_prediction), t_out[2].numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(f_out.energy_prediction), t_out[3].numpy(), atol=1e-4)
+
+    # inference path (no targets): predictions at frame level, finite wav
+    f_inf = jax.jit(
+        fmodel.apply, static_argnames=("max_mel_len", "train"))(
+        variables, jnp.asarray(speakers), jnp.asarray(texts),
+        jnp.asarray(src_lens), max_mel_len=cfg.max_seq_len, train=False)
+    assert f_inf.pitch_prediction.shape == (2, cfg.max_seq_len)
+    assert np.all(np.isfinite(np.asarray(f_inf.postnet_mel)))
