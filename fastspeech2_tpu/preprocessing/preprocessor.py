@@ -15,7 +15,10 @@ train/val metadata splits.
 Unlike the reference (which runs one CUDA conv per utterance,
 audio/stft.py:68-72), mel extraction here is a single jitted JAX function;
 utterances are processed through it with padding to a few static lengths so
-recompilation stays bounded.
+recompilation stays bounded.  `preprocessing.dsp_batch_size: N` stacks up
+to N same-bucket wavs per device dispatch (mel + vmapped F0), amortizing
+dispatch latency over the corpus — numerically identical to the
+per-utterance path (pinned by test_preprocessing.py).
 """
 
 import json
@@ -94,6 +97,8 @@ class Preprocessor:
         # the mel) for vocoder training/fine-tuning
         self.save_trimmed_wav = bool(
             pp["audio"].get("save_trimmed_wav", False))
+        # >1: stack same-bucket wavs into one device dispatch
+        self.dsp_batch_size = int(pp.get("dsp_batch_size", 1))
         self.mel_fn = MelSpectrogram(
             filter_length=pp["stft"]["filter_length"],
             hop_length=pp["stft"]["hop_length"],
@@ -119,6 +124,33 @@ class Preprocessor:
         n_frames = 0
         pitch_scaler, energy_scaler = OnlineScaler(), OnlineScaler()
         speakers = {}
+
+        # same-bucket prepared utterances awaiting a stacked DSP dispatch
+        pending = {}                     # padded_len -> [prep, ...]
+
+        def _consume(ret):
+            nonlocal n_frames
+            if ret is None:
+                return
+            info, pitch, energy, n = ret
+            out.append(info)
+            if len(pitch) > 0:
+                pitch_scaler.update(pitch)
+            if len(energy) > 0:
+                energy_scaler.update(energy)
+            n_frames += n
+
+        def _flush(preps):
+            wavs = [p["wav_padded"] for p in preps]
+            # pad partial groups by repeating the last wav so every
+            # bucket length compiles exactly one [B, L] shape
+            while len(wavs) < self.dsp_batch_size:
+                wavs.append(wavs[-1])
+            pitch_b, mel_b, energy_b = self._dsp_batch(wavs)
+            for j, p in enumerate(preps):
+                _consume(self._finalize_utterance(
+                    p, pitch_b[j], mel_b[j], energy_b[j]))
+
         for i, speaker in enumerate(sorted(os.listdir(self.in_dir))):
             spk_dir = os.path.join(self.in_dir, speaker)
             if not os.path.isdir(spk_dir):
@@ -133,16 +165,18 @@ class Preprocessor:
                     f"{basename}.TextGrid")
                 if not os.path.exists(tg_path):
                     continue
-                ret = self.process_utterance(speaker, basename)
-                if ret is None:
+                if self.dsp_batch_size <= 1:
+                    _consume(self.process_utterance(speaker, basename))
                     continue
-                info, pitch, energy, n = ret
-                out.append(info)
-                if len(pitch) > 0:
-                    pitch_scaler.update(pitch)
-                if len(energy) > 0:
-                    energy_scaler.update(energy)
-                n_frames += n
+                prep = self._prepare_utterance(speaker, basename)
+                if prep is None:
+                    continue
+                key = len(prep["wav_padded"])
+                pending.setdefault(key, []).append(prep)
+                if len(pending[key]) >= self.dsp_batch_size:
+                    _flush(pending.pop(key))
+        for preps in pending.values():
+            _flush(preps)
 
         pitch_mean = pitch_scaler.mean if self.pitch_normalization else 0.0
         pitch_std = pitch_scaler.std if self.pitch_normalization else 1.0
@@ -180,9 +214,9 @@ class Preprocessor:
 
     # ------------------------------------------------------------------
 
-    def process_utterance(self, speaker, basename):
-        import jax.numpy as jnp
-
+    def _prepare_utterance(self, speaker, basename):
+        """Host-side pass: alignment, trim, wav slice, bucket padding.
+        Returns a dict of everything the device DSP and finalize need."""
         wav_path = os.path.join(self.in_dir, speaker, f"{basename}.wav")
         text_path = os.path.join(self.in_dir, speaker, f"{basename}.lab")
         tg_path = os.path.join(
@@ -216,18 +250,40 @@ class Preprocessor:
         tail = min(n_fft, padded_len - len(wav), len(wav) - 1)
         if tail > 0:
             wav_padded[len(wav): len(wav) + tail] = wav[-2: -tail - 2: -1]
+        return {
+            "speaker": speaker, "basename": basename, "text": text,
+            "raw_text": raw_text, "durations": durations, "total": total,
+            "wav": wav, "wav_padded": wav_padded,
+        }
 
+    def _dsp_batch(self, wavs_padded):
+        """[B, L] padded wavs -> (pitch [B, F], mel [B, n_mels, F],
+        energy [B, F]) in one mel dispatch + one vmapped F0 dispatch."""
+        import jax
+        import jax.numpy as jnp
+
+        stacked = jnp.asarray(np.stack(wavs_padded), jnp.float32)
         f0_fn = dio_f0 if self.f0_estimator == "dio" else yin_f0
-        pitch = np.asarray(f0_fn(
-            jnp.asarray(wav_padded), self.sampling_rate, self.hop_length))
+        if stacked.shape[0] == 1:
+            pitch = np.asarray(f0_fn(
+                stacked[0], self.sampling_rate, self.hop_length))[None]
+        else:
+            pitch = np.asarray(jax.vmap(
+                lambda y: f0_fn(y, self.sampling_rate, self.hop_length)
+            )(stacked))
+        mel, energy = self.mel_fn(stacked)
+        return pitch, np.asarray(mel), np.asarray(energy)
+
+    def _finalize_utterance(self, prep, pitch, mel, energy):
+        """Host-side pass: slice to true frames, interp/average, save."""
+        speaker, basename = prep["speaker"], prep["basename"]
+        durations, total = prep["durations"], prep["total"]
+        wav = prep["wav"]
         pitch = pitch[:total]
         if np.sum(pitch != 0) <= 1:
             return None
-
-        mel, energy = self.mel_fn(
-            jnp.asarray(wav_padded, jnp.float32)[None, :])
-        mel = np.asarray(mel)[0][:, :total]              # [n_mels, T]
-        energy = np.asarray(energy)[0][:total]
+        mel = mel[:, :total]                             # [n_mels, T]
+        energy = energy[:total]
 
         if self.pitch_phoneme_averaging:
             pitch = interpolate_unvoiced(pitch)
@@ -255,11 +311,19 @@ class Preprocessor:
                                  f"{speaker}-wav-{basename}.npy"), aligned)
 
         return (
-            "|".join([basename, speaker, text, raw_text]),
+            "|".join([basename, speaker, prep["text"], prep["raw_text"]]),
             remove_outliers(pitch),
             remove_outliers(energy),
             mel.shape[1],
         )
+
+    def process_utterance(self, speaker, basename):
+        """Single-utterance path (prepare -> one-row DSP -> finalize)."""
+        prep = self._prepare_utterance(speaker, basename)
+        if prep is None:
+            return None
+        pitch, mel, energy = self._dsp_batch([prep["wav_padded"]])
+        return self._finalize_utterance(prep, pitch[0], mel[0], energy[0])
 
     # ------------------------------------------------------------------
 

@@ -190,3 +190,26 @@ def test_preprocessor_end_to_end(tmp_path):
         means.append((p * p_std + p_mean).mean())
     assert means[0] < means[1] < means[2]
     assert abs(means[0] - 180) < 20
+
+
+def test_batched_dsp_matches_per_utterance(tmp_path):
+    """dsp_batch_size > 1 stacks same-bucket wavs into one dispatch; the
+    saved features must match the per-utterance path (to fp32 reduction
+    reordering, ~1e-7: vmap changes XLA's fusion order)."""
+    raw1, out1 = _make_raw_corpus(str(tmp_path / "a"))
+    raw2, out2 = _make_raw_corpus(str(tmp_path / "b"))
+    cfg1 = _config(raw1, out1)
+    cfg2 = _config(raw2, out2)
+    cfg2["preprocessing"]["dsp_batch_size"] = 4
+
+    r1 = Preprocessor(cfg1).build_from_path()
+    r2 = Preprocessor(cfg2).build_from_path()
+    assert sorted(r1) == sorted(r2)
+    for sub in ["mel", "pitch", "energy", "duration"]:
+        files = sorted(os.listdir(os.path.join(out1, sub)))
+        assert files == sorted(os.listdir(os.path.join(out2, sub)))
+        for f in files:
+            a = np.load(os.path.join(out1, sub, f))
+            b = np.load(os.path.join(out2, sub, f))
+            np.testing.assert_allclose(
+                a, b, rtol=1e-6, atol=1e-6, err_msg=f"{sub}/{f}")
