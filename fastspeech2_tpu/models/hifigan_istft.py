@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from fastspeech2_tpu.models.hifigan import LRELU_SLOPE, ResBlock, _same_pad
+from fastspeech2_tpu.models.hifigan import LRELU_SLOPE, ResBlock
 
 
 def _istft_bases(n_fft):

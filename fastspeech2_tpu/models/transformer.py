@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fastspeech2_tpu.models.common import (
-    TorchConv1d,
     TorchDense,
     TorchLayerNorm,
     embedding_init_with_pad,
