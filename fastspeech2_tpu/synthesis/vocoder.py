@@ -164,10 +164,17 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
     ({"generator": state_dict}) which is converted on the fly.
     """
     name = model_config["vocoder"]["model"]
-    if name in ("HiFi-GAN", "HiFi-GAN-iSTFT"):
+    istft_configs = {
+        # C8C8I: best quality/speed point of the iSTFTNet recipe
+        "HiFi-GAN-iSTFT": "config_istft.json",
+        # C8C2I: ~2x faster again (stage 2 runs at 1/4 the positions),
+        # small quality cost per the iSTFTNet paper
+        "HiFi-GAN-iSTFT-C8C2I": "config_istft_c8c2i.json",
+    }
+    if name in ("HiFi-GAN", *istft_configs):
         config = load_hifigan_config(
-            os.path.join(_HIFIGAN_DIR, "config_istft.json")
-            if name == "HiFi-GAN-iSTFT" else None)
+            os.path.join(_HIFIGAN_DIR, istft_configs[name])
+            if name in istft_configs else None)
         if ckpt_path is None:
             # look for generator_<speaker>.pth.tar next to the bundled
             # config, mirroring utils/model.py:58-65's speaker selection

@@ -152,3 +152,21 @@ def test_vocoder_train_step_with_istft_gen(tmp_path):
     voc = HiFiGANVocoder({"params": tree["gen_params"]}, cfg)
     wav = voc(jnp.zeros((1, 4, 8)))
     assert wav.shape == (1, 4 * 256)
+
+
+def test_get_vocoder_c8c2i_variant():
+    """The faster C8C2I operating point (rates 8,2 + n_fft 64 / hop 16)
+    keeps the same io contract: total upsample 8*2*16 = 256."""
+    from fastspeech2_tpu.synthesis.vocoder import get_vocoder
+
+    model_config = {"vocoder": {"model": "HiFi-GAN-iSTFT-C8C2I"}}
+    pre = {"preprocessing": {
+        "audio": {"max_wav_value": 32768.0, "sampling_rate": 22050},
+        "stft": {"hop_length": 256},
+    }}
+    voc = get_vocoder(model_config, pre, None)
+    assert voc.generator.gen_istft_n_fft == 64
+    assert tuple(voc.generator.upsample_rates) == (8, 2)
+    wav = voc(jnp.zeros((1, 5, 80)))
+    assert wav.shape == (1, 5 * 256)
+    assert np.all(np.isfinite(np.asarray(wav)))
