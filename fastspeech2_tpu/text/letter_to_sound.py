@@ -327,6 +327,7 @@ _EXCEPTIONS = {
     "come": "K AH1 M", "some": "S AH1 M", "love": "L AH1 V",
     "move": "M UW1 V", "lose": "L UW1 Z", "whose": "HH UW1 Z",
     "now": "N AW1", "how": "HH AW1", "cow": "K AW1",
+    "down": "D AW1 N", "town": "T AW1 N", "brown": "B R AW1 N",
     "iron": "AY1 ER0 N", "island": "AY1 L AH0 N D",
     "colonel": "K ER1 N AH0 L", "women": "W IH1 M AH0 N",
     "busy": "B IH1 Z IY0", "pretty": "P R IH1 T IY0",
