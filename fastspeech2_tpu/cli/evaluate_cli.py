@@ -41,8 +41,11 @@ def main(argv=None):
 
     optim_cfg = OptimConfig.build(train_config)
     optimizer, _ = make_optimizer(optim_cfg, cfg.encoder_hidden)
+    from fastspeech2_tpu.utils.jit_cache import cached_jit
+
     state = TrainState.create(variables, optimizer, step=args.restore_step)
-    eval_step = jax.jit(make_eval_step(model, cfg))
+    eval_step = cached_jit(("eval_step", model),
+                           lambda: jax.jit(make_eval_step(model, cfg)))
     val_dataset = FeatureDataset("val.txt", preprocess_config)
     losses = evaluate(eval_step, state, val_dataset, preprocess_config,
                       optim_cfg.batch_size, cfg)

@@ -19,6 +19,7 @@ from fastspeech2_tpu.data.dataset import round_up
 from fastspeech2_tpu.synthesis.plotting import expand_by_duration, plot_mel
 from fastspeech2_tpu.synthesis.vocoder import vocoder_infer
 from fastspeech2_tpu.text import text_to_sequence
+from fastspeech2_tpu.utils.jit_cache import cached_jit
 from fastspeech2_tpu.text.g2p import (
     english_to_phones,
     mandarin_to_phones,
@@ -38,37 +39,55 @@ class Synthesizer:
         self.text_bucket = text_bucket
         self._lexicon = None
 
-        @partial(jax.jit,
-                 static_argnames=("max_mel_len", "truncate_decoder"))
-        def _forward(variables, speakers, texts, src_lens, p, e, d,
-                     max_mel_len, truncate_decoder=True):
-            return model.apply(
-                variables, speakers, texts, src_lens,
-                max_mel_len=max_mel_len,
-                p_control=p, e_control=e, d_control=d,
-                train=False, truncate_decoder=truncate_decoder,
-            )
+        def _build_forward():
+            @partial(jax.jit,
+                     static_argnames=("max_mel_len", "truncate_decoder"))
+            def _forward(variables, speakers, texts, src_lens, p, e, d,
+                         max_mel_len, truncate_decoder=True):
+                return model.apply(
+                    variables, speakers, texts, src_lens,
+                    max_mel_len=max_mel_len,
+                    p_control=p, e_control=e, d_control=d,
+                    train=False, truncate_decoder=truncate_decoder,
+                )
 
-        self._forward = _forward
+            return _forward
+
+        # flax modules hash by value: equivalent Synthesizer instances in
+        # one process share traces/executables (utils/jit_cache.py)
+        self._forward = cached_jit(("pipeline_forward", model),
+                                   _build_forward)
 
         # fused text->wav: one dispatch for acoustic + vocoder when the
         # vocoder exposes a jit-composable apply (HiFi-GAN/MelGAN)
         self._fused = None
         inner = getattr(vocoder, "raw_apply", None)
         if inner is not None:
-            @partial(jax.jit,
-                     static_argnames=("max_mel_len", "truncate_decoder"))
-            def _fused(variables, voc_params, speakers, texts, src_lens,
-                       p, e, d, max_mel_len, truncate_decoder=True):
-                out = model.apply(
-                    variables, speakers, texts, src_lens,
-                    max_mel_len=max_mel_len,
-                    p_control=p, e_control=e, d_control=d, train=False,
-                    truncate_decoder=truncate_decoder)
-                wav = inner(voc_params, out.postnet_mel)
-                return wav, out
+            def _build_fused():
+                @partial(jax.jit,
+                         static_argnames=("max_mel_len",
+                                          "truncate_decoder"))
+                def _fused(variables, voc_params, speakers, texts,
+                           src_lens, p, e, d, max_mel_len,
+                           truncate_decoder=True):
+                    out = model.apply(
+                        variables, speakers, texts, src_lens,
+                        max_mel_len=max_mel_len,
+                        p_control=p, e_control=e, d_control=d,
+                        train=False, truncate_decoder=truncate_decoder)
+                    wav = inner(voc_params, out.postnet_mel)
+                    return wav, out
 
-            self._fused = _fused
+                return _fused
+
+            # jit_key value-identifies the vocoder's traced apply; None
+            # means uncacheable (e.g. folded evaluator closing over params)
+            voc_key = getattr(vocoder, "jit_key", None)
+            if voc_key is not None:
+                self._fused = cached_jit(
+                    ("pipeline_fused", model, voc_key), _build_fused)
+            else:
+                self._fused = _build_fused()
 
     # -- text frontends --------------------------------------------------
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+from fastspeech2_tpu.utils.jit_cache import cached_jit
 
 _HIFIGAN_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                             "configs", "hifigan")
@@ -77,9 +78,15 @@ class HiFiGANVocoder:
 
             evaluator = FoldedHiFiGAN(params, config=config, dtype=dtype)
             self.raw_apply = lambda _, m: evaluator(m)
+            # the folded evaluator closes over its params: the trace is
+            # instance-specific, so it must not be shared across instances
+            self.jit_key = None
+            self._apply = jax.jit(self.raw_apply)
         else:
             self.raw_apply = self.generator.apply
-        self._apply = jax.jit(self.raw_apply)
+            self.jit_key = self.generator
+            self._apply = cached_jit(("vocoder_apply", self.jit_key),
+                                     lambda: jax.jit(self.raw_apply))
 
     def __call__(self, mels):
         """[B, T, n_mels] -> [B, T * upsample] float waveform."""
@@ -115,7 +122,9 @@ class MelGANVocoder:
         # the reference feeds MelGAN log10 mels (utils/model.py:78)
         self.raw_apply = lambda p, m: self.generator.apply(
             p, m / jnp.log(10.0))
-        self._apply = jax.jit(self.raw_apply)
+        self.jit_key = self.generator
+        self._apply = cached_jit(("vocoder_apply_log10", self.jit_key),
+                                 lambda: jax.jit(self.raw_apply))
 
     def __call__(self, mels):
         return self._apply(self.params, mels)

@@ -29,6 +29,7 @@ from fastspeech2_tpu.training.checkpoint import (
 from fastspeech2_tpu.training.optim import make_optimizer
 from fastspeech2_tpu.training.step import make_eval_step, make_train_step
 from fastspeech2_tpu.training.train_state import TrainState
+from fastspeech2_tpu.utils.jit_cache import cached_jit
 from fastspeech2_tpu.utils.logging import TrainLogger
 
 
@@ -48,7 +49,10 @@ def init_training(preprocess_config, model_config, train_config,
 
     rng = jax.random.PRNGKey(seed)
     B, Pn, T = 2, 16, 64
-    variables = jax.jit(model.init, static_argnames=("max_mel_len", "train"))(
+    init_fn = cached_jit(
+        ("model_init", model),
+        lambda: jax.jit(model.init, static_argnames=("max_mel_len", "train")))
+    variables = init_fn(
         {"params": rng, "dropout": rng},
         jnp.zeros((B,), jnp.int32),
         jnp.ones((B, Pn), jnp.int32),
@@ -194,12 +198,21 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         mel_bucket=bucket_cfg.get("mel", 160))
     val_dataset = FeatureDataset("val.txt", preprocess_config)
 
-    train_step = jax.jit(
-        make_train_step(model, cfg, optimizer,
-                        grad_acc_step=optim_cfg.grad_acc_step),
-        donate_argnums=0)
-    eval_step = jax.jit(make_eval_step(model, cfg))
-    infer_fn = jax.jit(model.apply, static_argnames=("max_mel_len", "train"))
+    # the optimizer is a pure function of (optim_cfg, encoder_hidden) and
+    # cfg lives inside the model, so these keys fully identify each trace
+    train_step = cached_jit(
+        ("train_step", model, optim_cfg),
+        lambda: jax.jit(
+            make_train_step(model, cfg, optimizer,
+                            grad_acc_step=optim_cfg.grad_acc_step),
+            donate_argnums=0))
+    eval_step = cached_jit(
+        ("eval_step", model),
+        lambda: jax.jit(make_eval_step(model, cfg)))
+    infer_fn = cached_jit(
+        ("model_infer", model),
+        lambda: jax.jit(model.apply,
+                        static_argnames=("max_mel_len", "train")))
 
     logger = TrainLogger(os.path.join(
         train_config["path"]["log_path"], "train"))

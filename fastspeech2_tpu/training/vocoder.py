@@ -311,6 +311,21 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     state = VocoderTrainState.create(gen_params, disc_params,
                                      gen_opt, disc_opt)
 
+    # resume from the newest checkpoint in out_dir, if any (long GAN runs
+    # get the same elastic-resume behavior as the acoustic trainer)
+    from fastspeech2_tpu.training.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+    )
+
+    start_step = latest_step(out_dir)
+    if start_step is not None:
+        state = restore_checkpoint(out_dir, jax.device_get(state),
+                                   start_step)
+        log(f"Resumed vocoder training from step {start_step}")
+    else:
+        start_step = 0
+
     batch_put = jnp.asarray
     if data_parallel and data_parallel > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -329,13 +344,22 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         def batch_put(x):
             return jax.device_put(np.asarray(x), batch_sharding)
 
-    step_fn = jax.jit(
-        make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
-                                external_mel=external_mel),
-        donate_argnums=0)
+    # the optimizers are pure functions of (learning_rate, lr_decay,
+    # steps_per_epoch); with the value-hashable modules this key fully
+    # identifies the trace, so repeated train_vocoder calls in one
+    # process share it (utils/jit_cache.py)
+    from fastspeech2_tpu.utils.jit_cache import cached_jit
+
+    step_fn = cached_jit(
+        ("voc_train_step", gen, disc, mel_fn, learning_rate, lr_decay,
+         steps_per_epoch, external_mel),
+        lambda: jax.jit(
+            make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                    external_mel=external_mel),
+            donate_argnums=0))
 
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(1, total_steps + 1):
+    for i in range(start_step + 1, total_steps + 1):
         if external_mel:
             wav, mel = sampler.sample(batch_size)
             state, losses = step_fn(state, batch_put(wav), batch_put(mel))

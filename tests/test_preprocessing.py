@@ -196,8 +196,10 @@ def test_batched_dsp_matches_per_utterance(tmp_path):
     """dsp_batch_size > 1 stacks same-bucket wavs into one dispatch; the
     saved features must match the per-utterance path (to fp32 reduction
     reordering, ~1e-7: vmap changes XLA's fusion order)."""
-    raw1, out1 = _make_raw_corpus(str(tmp_path / "a"))
-    raw2, out2 = _make_raw_corpus(str(tmp_path / "b"))
+    # 2 utterances suffice: the batched path still stacks (and pads) a
+    # partial dsp_batch_size=4 batch, and DIO compute dominates this test
+    raw1, out1 = _make_raw_corpus(str(tmp_path / "a"), n_utts=2)
+    raw2, out2 = _make_raw_corpus(str(tmp_path / "b"), n_utts=2)
     cfg1 = _config(raw1, out1)
     cfg2 = _config(raw2, out2)
     cfg2["preprocessing"]["dsp_batch_size"] = 4

@@ -21,7 +21,9 @@ DEMO = "/root/reference/demo/LJSpeech"
 
 @pytest.fixture(scope="module")
 def demo_wavs(reference_root):
-    paths = sorted(glob.glob(os.path.join(DEMO, "*ground-truth.wav")))[:4]
+    # 3 wavs: DIO+YIN compute dominates the file's wall time and the
+    # agreement/median assertions are already stable at 3 utterances
+    paths = sorted(glob.glob(os.path.join(DEMO, "*ground-truth.wav")))[:3]
     if not paths:
         pytest.skip("reference demo wavs not available")
     from scipy.io import wavfile

@@ -229,7 +229,7 @@ def test_eval_step_excludes_padded_duplicate_rows():
     model, variables = _init(cfg, batch)
     optim, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
     state = TrainState.create(variables, optim)
-    eval_step = make_eval_step(model, cfg)
+    eval_step = jax.jit(make_eval_step(model, cfg))
 
     # oracle: the 3 true rows on their own
     truth = eval_step(state, {k: v[:3] for k, v in batch.items()})

@@ -59,12 +59,17 @@ def test_period_discriminator_fold():
 
 def test_multi_discriminators_outputs():
     y = jnp.asarray(np.random.RandomState(0).randn(2, SEG), jnp.float32)
-    mpd = MultiPeriodDiscriminator(periods=(2, 3))
+    mpd = MultiPeriodDiscriminator(periods=(2, 3),
+                                   channels=(4, 8))
     v = mpd.init(jax.random.PRNGKey(0), y)
     fmaps, scores = mpd.apply(v, y)
     assert len(fmaps) == 2 and len(scores) == 2
 
-    msd = MultiScaleDiscriminator(n_scales=2)
+    # tiny layer spec: full-size MSD channels (128-1024) run eagerly here
+    # and dominate the test's wall time without changing what it checks
+    msd = MultiScaleDiscriminator(
+        n_scales=2,
+        layers=((8, 15, 1, 1), (16, 41, 4, 4), (16, 5, 1, 1)))
     v = msd.init(jax.random.PRNGKey(0), y)
     fmaps, scores = msd.apply(v, y)
     assert len(fmaps) == 2 and len(scores) == 2
@@ -91,9 +96,11 @@ def test_vocoder_train_step_losses_improve():
     gen, disc, mel_fn = _tiny_gen(), _tiny_disc(), _mel_fn()
 
     t = np.arange(SEG) / 22050.0
+    # batch 4 matches the data-parallel test's shapes so its unsharded
+    # reference step reuses this test's trace and executable
     base = np.stack([
-        0.5 * np.sin(2 * np.pi * 220 * t),
-        0.5 * np.sin(2 * np.pi * 330 * t),
+        0.5 * np.sin(2 * np.pi * f * t)
+        for f in (220.0, 330.0, 440.0, 550.0)
     ]).astype(np.float32)
     wav = jnp.asarray(base)
 
@@ -104,9 +111,15 @@ def test_vocoder_train_step_losses_improve():
     disc_opt, _ = make_vocoder_optimizer(2e-4)
     state = VocoderTrainState.create(gen_params, disc_params,
                                      gen_opt, disc_opt)
-    step_fn = jax.jit(make_vocoder_train_step(gen, disc, mel_fn,
-                                              gen_opt, disc_opt),
-                      donate_argnums=0)
+    # same key train_vocoder uses: the DP test below (equal tiny modules)
+    # then reuses this trace instead of re-tracing the GAN step
+    from fastspeech2_tpu.utils.jit_cache import cached_jit
+
+    step_fn = cached_jit(
+        ("voc_train_step", gen, disc, mel_fn, 2e-4, 0.999, 1000, False),
+        lambda: jax.jit(make_vocoder_train_step(gen, disc, mel_fn,
+                                                gen_opt, disc_opt),
+                        donate_argnums=0))
     first_mel = None
     for i in range(30):
         state, losses = step_fn(state, wav)
@@ -140,18 +153,29 @@ def test_vocoder_step_data_parallel():
     disc_params = disc.init(rng, jnp.asarray(wav))["params"]
     gen_opt, _ = make_vocoder_optimizer(2e-4)
     disc_opt, _ = make_vocoder_optimizer(2e-4)
-    step = make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt)
+    from fastspeech2_tpu.utils.jit_cache import cached_jit
 
+    step_fn = cached_jit(
+        ("voc_train_step", gen, disc, mel_fn, 2e-4, 0.999, 1000, False),
+        lambda: jax.jit(make_vocoder_train_step(gen, disc, mel_fn,
+                                                gen_opt, disc_opt),
+                        donate_argnums=0))
+
+    # the shared step donates its input state; on the CPU platform
+    # device_put can alias host buffers, so the DP state must be built
+    # from independent copies or the ref call's donation deletes both
+    host = jax.device_get((gen_params, disc_params))
     ref_state = VocoderTrainState.create(gen_params, disc_params,
                                          gen_opt, disc_opt)
-    _, ref_losses = jax.jit(step)(ref_state, jnp.asarray(wav))
+    _, ref_losses = step_fn(ref_state, jnp.asarray(wav))
 
     mesh = make_mesh(data=4, model=1)
-    state = VocoderTrainState.create(gen_params, disc_params,
+    fresh = jax.tree_util.tree_map(jnp.array, host)
+    state = VocoderTrainState.create(fresh[0], fresh[1],
                                      gen_opt, disc_opt)
     state = jax.device_put(state, NamedSharding(mesh, P()))
     wav_sh = jax.device_put(wav, NamedSharding(mesh, P("data")))
-    new_state, losses = jax.jit(step, donate_argnums=0)(state, wav_sh)
+    new_state, losses = step_fn(state, wav_sh)
 
     for k in losses:
         np.testing.assert_allclose(float(losses[k]), float(ref_losses[k]),
@@ -302,3 +326,14 @@ def test_train_vocoder_cli(tmp_path):
     ])
     assert int(state.step) == 3
     assert os.path.isdir(tmp_path / "ckpt" / "3")
+
+    # re-launching with the same out_dir resumes from the newest checkpoint
+    # (runs steps 4..5 only) instead of restarting from scratch
+    state = main([
+        "--wav_dir", str(tmp_path / "wavs"),
+        "--out_dir", str(tmp_path / "ckpt"),
+        "--config", str(cfg_path),
+        "--total_steps", "5", "--log_step", "1", "--save_step", "5",
+    ])
+    assert int(state.step) == 5
+    assert os.path.isdir(tmp_path / "ckpt" / "5")
