@@ -87,6 +87,8 @@ def _main():
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_parity_vocoder", action="store_true",
                         help="skip the second (parity HiFi-GAN) e2e compile")
+    parser.add_argument("--skip_fastest_vocoder", action="store_true",
+                        help="skip the C8C2I (fastest variant) e2e compile")
     parser.add_argument("--torch_ckpt", default=None,
                         help="reference FastSpeech2 .pth.tar: bench on "
                              "converted quality-bearing weights")
@@ -110,6 +112,10 @@ def _main():
     acoustic = FastSpeech2(cfg, dtype=jnp.bfloat16)
     vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
     istft_vocoder = HiFiGANiSTFTGenerator(dtype=jnp.bfloat16)
+    # fastest operating point (configs/hifigan/config_istft_c8c2i.json)
+    c8c2i_vocoder = HiFiGANiSTFTGenerator(
+        upsample_rates=(8, 2), upsample_kernel_sizes=(16, 4),
+        gen_istft_n_fft=64, gen_istft_hop_size=16, dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
     seqs = _realistic_texts(B, P)
@@ -138,6 +144,8 @@ def _main():
     voc_params = jax.jit(vocoder.init)(rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
     ivoc_params = jax.jit(istft_vocoder.init)(
         rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
+    c8c2i_params = jax.jit(c8c2i_vocoder.init)(
+        rng, jnp.zeros((1, 8, 80), jnp.bfloat16))
     from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
 
     folded_vocoder = FoldedHiFiGAN(voc_params, dtype=jnp.bfloat16)
@@ -160,6 +168,14 @@ def _main():
         out = acoustic.apply(variables, speakers, texts, src_lens,
                              max_mel_len=T, train=False)
         wav = folded_vocoder(out.postnet_mel)
+        return (jnp.sum(wav.astype(jnp.float32))
+                + jnp.sum(out.mel_len).astype(jnp.float32))
+
+    @jax.jit
+    def e2e_c8c2i_sum(variables, voc_params, speakers, texts, src_lens):
+        out = acoustic.apply(variables, speakers, texts, src_lens,
+                             max_mel_len=T, train=False)
+        wav = c8c2i_vocoder.apply(voc_params, out.postnet_mel)
         return (jnp.sum(wav.astype(jnp.float32))
                 + jnp.sum(out.mel_len).astype(jnp.float32))
 
@@ -198,6 +214,16 @@ def _main():
     if not args.skip_parity_vocoder:
         parity_raw = timed(e2e_parity_sum, parity_packs, args.trials)
         parity_s = max(parity_raw - floor_s, 1e-6)
+    c8c2i_s = None
+    if not args.skip_fastest_vocoder:
+        try:
+            c8c2i_packs = [(variables, c8c2i_params, speakers,
+                            jnp.asarray(t), jnp.asarray(l))
+                           for t, l in packs]
+            c8c2i_raw = timed(e2e_c8c2i_sum, c8c2i_packs, args.trials)
+            c8c2i_s = max(c8c2i_raw - floor_s, 1e-6)
+        except Exception:  # never let the extra sink the primary metric
+            c8c2i_s = None
     # batch-1 latency (BASELINE.json: "text->wav, LJSpeech batch 1/32")
     b1_packs = [(variables, ivoc_params, speakers[:1],
                  jnp.asarray(t[:1]), jnp.asarray(l[:1])) for t, l in packs]
@@ -233,6 +259,10 @@ def _main():
         result["extras"]["e2e_ms_parity_vocoder"] = round(parity_s * 1000, 2)
         result["extras"]["rtf_parity_vocoder"] = round(
             parity_s / audio_seconds, 6)
+    if c8c2i_s is not None:
+        result["extras"]["e2e_ms_c8c2i_vocoder"] = round(c8c2i_s * 1000, 2)
+        result["extras"]["rtf_c8c2i_vocoder"] = round(
+            c8c2i_s / audio_seconds, 6)
     result["extras"]["e2e_ms_b1"] = round(b1_s * 1000, 2)
     result["extras"]["rtf_b1"] = round(b1_s / (T * hop / sr), 6)
 

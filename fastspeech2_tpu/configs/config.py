@@ -140,6 +140,15 @@ class FastSpeech2Config:
             attention_backend=model_config.get("attention_backend", "auto"),
             ffn_backend=model_config.get("ffn_backend", "auto"),
             remat=bool(model_config.get("remat", False)),
+            # optional superset block: the reference hardcodes its PostNet
+            # (transformer/Layers.py:67-137); an absent block keeps those
+            # exact defaults
+            postnet_embedding_dim=model_config.get(
+                "postnet", {}).get("embedding_dim", 512),
+            postnet_kernel_size=model_config.get(
+                "postnet", {}).get("kernel_size", 5),
+            postnet_n_convolutions=model_config.get(
+                "postnet", {}).get("n_convolutions", 5),
         )
 
 

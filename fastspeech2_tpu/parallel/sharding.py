@@ -48,6 +48,22 @@ def param_partition_spec(params):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _normalize_spec(spec, mesh):
+    """Drop mesh axes of size 1 from a spec.
+
+    GSPMD canonicalizes size-1 axis annotations away in compiled outputs
+    (P(None, 'model') on a model=1 mesh comes back as P()); annotating
+    inputs with the already-canonical spec keeps step input and output
+    shardings identical, so one executable serves every step instead of
+    recompiling once the first output feeds back in.
+    """
+    axes = [None if (a is not None and mesh.shape[a] == 1) else a
+            for a in spec]
+    while axes and axes[-1] is None:
+        axes.pop()
+    return P(*axes)
+
+
 def shard_variables(variables, mesh):
     """Device-put a variables pytree according to the partition rules.
 
@@ -59,7 +75,7 @@ def shard_variables(variables, mesh):
         for k, v in variables.items()
     }
     shardings = jax.tree_util.tree_map(
-        lambda s: NamedSharding(mesh, s), specs,
+        lambda s: NamedSharding(mesh, _normalize_spec(s, mesh)), specs,
         is_leaf=lambda x: isinstance(x, P),
     )
     return jax.device_put(variables, shardings), shardings

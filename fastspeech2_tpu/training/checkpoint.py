@@ -17,6 +17,13 @@ import orbax.checkpoint as ocp
 def save_checkpoint(ckpt_dir, state, step=None):
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
+    # pipeline every leaf's D2H copy before the first blocking fetch:
+    # device_get alone waits per leaf, and each wait costs a full
+    # scheduler round trip when other loop threads are live (measured
+    # ~30 ms/leaf x ~250 leaves inside the training loop)
+    jax.tree_util.tree_map(
+        lambda x: x.copy_to_host_async()
+        if hasattr(x, "copy_to_host_async") else None, state)
     if step is None:
         step = int(jax.device_get(state.step))
     path = os.path.join(ckpt_dir, str(step))

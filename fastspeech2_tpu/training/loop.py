@@ -198,14 +198,32 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         mel_bucket=bucket_cfg.get("mel", 160))
     val_dataset = FeatureDataset("val.txt", preprocess_config)
 
+    # canonical state placement: params/batch_stats keep their mesh
+    # shardings, everything created off-mesh (optimizer counts, step)
+    # goes replicated.  Pinning the step's out_shardings to exactly these
+    # keeps input and output shardings identical, so ONE executable
+    # serves every step — without it GSPMD's canonicalized output
+    # shardings feed back in and force a second full compile.
+    replicated = NamedSharding(mesh, P())
+
+    def _canon(x):
+        sh = getattr(x, "sharding", None)
+        return sh if (isinstance(sh, NamedSharding) and sh.mesh == mesh) \
+            else replicated
+
+    state_shardings = jax.tree_util.tree_map(_canon, state)
+    state = jax.device_put(state, state_shardings)
+
     # the optimizer is a pure function of (optim_cfg, encoder_hidden) and
-    # cfg lives inside the model, so these keys fully identify each trace
+    # cfg lives inside the model, so with the mesh these keys fully
+    # identify each trace
     train_step = cached_jit(
-        ("train_step", model, optim_cfg),
+        ("train_step", model, optim_cfg, mesh),
         lambda: jax.jit(
             make_train_step(model, cfg, optimizer,
                             grad_acc_step=optim_cfg.grad_acc_step),
-            donate_argnums=0))
+            donate_argnums=0,
+            out_shardings=(state_shardings, replicated)))
     eval_step = cached_jit(
         ("eval_step", model),
         lambda: jax.jit(make_eval_step(model, cfg)))

@@ -25,6 +25,10 @@ def _tiny_model_config():
         "variance_embedding": {"pitch_quantization": "linear",
                                "energy_quantization": "linear",
                                "n_bins": 16},
+        # without this block the PostNet defaults to the reference's
+        # 512ch x 5 convs, which dominates tiny-model step compute
+        "postnet": {"embedding_dim": 16, "kernel_size": 5,
+                    "n_convolutions": 3},
         "multi_speaker": False,
         "max_seq_len": 256,
         "vocoder": {"model": "none", "speaker": "LJSpeech"},

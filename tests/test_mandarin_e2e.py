@@ -61,6 +61,8 @@ def zh_workspace(tmp_path_factory):
         "variance_embedding": {"pitch_quantization": "linear",
                                "energy_quantization": "linear",
                                "n_bins": 16},
+        "postnet": {"embedding_dim": 16, "kernel_size": 5,
+                    "n_convolutions": 3},
         "multi_speaker": True,
         "max_seq_len": 128,
         "vocoder": {"model": "none", "speaker": "universal"},

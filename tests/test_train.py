@@ -197,7 +197,16 @@ def test_sharded_train_step_dp_tp():
         k: jax.device_put(v, batch_sharding) for k, v in batch.items()
     }
 
-    step_fn = jax.jit(make_train_step(model, cfg, optim), donate_argnums=0)
+    # pin out_shardings to the input layout (as the training loop does):
+    # one executable serves both steps instead of recompiling when the
+    # first output's canonicalized shardings feed back in
+    replicated = NamedSharding(mesh, P())
+    state_sh = jax.tree_util.tree_map(
+        lambda x: x.sharding if isinstance(x.sharding, NamedSharding)
+        else replicated, state)
+    state = jax.device_put(state, state_sh)
+    step_fn = jax.jit(make_train_step(model, cfg, optim), donate_argnums=0,
+                      out_shardings=(state_sh, replicated))
     rng = jax.random.PRNGKey(0)
     state, losses = step_fn(state, device_batch, rng)
     state, losses = step_fn(state, device_batch, rng)

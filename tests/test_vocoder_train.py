@@ -220,6 +220,8 @@ def test_finetune_pipeline(tmp_path):
         "variance_embedding": {"pitch_quantization": "linear",
                                "energy_quantization": "linear",
                                "n_bins": 16},
+        "postnet": {"embedding_dim": 16, "kernel_size": 5,
+                    "n_convolutions": 3},
         "multi_speaker": False, "max_seq_len": 256,
         "vocoder": {"model": "none", "speaker": "LJSpeech"},
     }
