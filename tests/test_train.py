@@ -50,15 +50,18 @@ def test_loss_decreases_overfit():
     state = TrainState.create(variables, optim)
     step_fn = jax.jit(make_train_step(model, cfg, optim))
     rng = jax.random.PRNGKey(1)
-    first = last = None
-    for i in range(60):
+    # fetch only the first and last loss: a float() per step serializes
+    # the whole loop on a host sync (30 steps reach ratio ~0.23, so the
+    # 0.5 threshold keeps a wide margin)
+    first = None
+    for i in range(30):
         state, losses = step_fn(state, batch, rng)
         if i == 0:
             first = float(losses.total)
-        last = float(losses.total)
+    last = float(losses.total)
     assert np.isfinite(first) and np.isfinite(last)
-    assert last < first * 0.7, (first, last)
-    assert int(state.step) == 60
+    assert last < first * 0.5, (first, last)
+    assert int(state.step) == 30
 
 
 def test_grad_accumulation_matches_full_batch():

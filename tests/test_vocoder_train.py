@@ -120,12 +120,15 @@ def test_vocoder_train_step_losses_improve():
         lambda: jax.jit(make_vocoder_train_step(gen, disc, mel_fn,
                                                 gen_opt, disc_opt),
                         donate_argnums=0))
+    # fetch host values only at the ends: per-step float() serializes the
+    # loop, and a mid-run NaN would persist in params and show up in the
+    # final losses anyway
     first_mel = None
     for i in range(30):
         state, losses = step_fn(state, wav)
         if i == 0:
             first_mel = float(losses["gen_mel"])
-        assert all(np.isfinite(float(v)) for v in losses.values())
+    assert all(np.isfinite(float(v)) for v in losses.values())
     last_mel = float(losses["gen_mel"])
     assert int(state.step) == 30
     assert last_mel < first_mel, (first_mel, last_mel)
@@ -193,7 +196,9 @@ def test_finetune_pipeline(tmp_path):
 
     from test_preprocessing import _config, _make_raw_corpus
 
-    raw, out = _make_raw_corpus(str(tmp_path))
+    # 2 utterances (1 train + 1 val with val_size=1): DSP dominates this
+    # test and every stage below handles partial batches
+    raw, out = _make_raw_corpus(str(tmp_path), n_utts=2)
     pre_cfg = _config(raw, out)
     pre_cfg["preprocessing"]["audio"]["save_trimmed_wav"] = True
     from fastspeech2_tpu.preprocessing import Preprocessor
