@@ -52,6 +52,11 @@ def _token_to_phones(w, lexicon):
     and recurse per word, else rule-based letter-to-sound."""
     if w.lower() in lexicon:
         return list(lexicon[w.lower()])
+    # quoted/parenthesized words must still hit the lexicon ('"alek"');
+    # g2p_en strips these itself upstream
+    stripped = w.strip("\"'()[]`“”‘’").lower()
+    if stripped and stripped in lexicon:
+        return list(lexicon[stripped])
     if re.search(r"[0-9]", w):
         from fastspeech2_tpu.text.numbers import normalize_numbers
 
