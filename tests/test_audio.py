@@ -140,7 +140,9 @@ def test_dio_vibrato_tracks():
     from fastspeech2_tpu.audio import dio_f0
 
     sr, hop = 22050, 256
-    t = np.arange(sr * 2) / sr
+    # 1 s = 5 vibrato cycles, and the same dio jit shape as the
+    # pure-tone tests (one compiled executable serves all of them)
+    t = np.arange(sr * 1) / sr
     # 200 Hz carrier, +-10 Hz vibrato at 5 Hz
     phase = 2 * np.pi * (200 * t - 10 / (2 * np.pi * 5)
                          * np.cos(2 * np.pi * 5 * t))
