@@ -210,6 +210,42 @@ def _main():
 
     e2e_raw = timed(e2e_sum, e2e_packs, args.trials)
     mel_raw = timed(mel_sum, mel_packs, args.trials)
+
+    # checkpoint the primary metric NOW: the extras below compile three
+    # more large graphs (parity vocoder, C8C2I, train step), and if an
+    # external time budget kills this process mid-extras, the last JSON
+    # line printed so far is still a valid primary result.
+    def emit(result):
+        print(json.dumps(result), flush=True)
+
+    e2e_s = max(e2e_raw - floor_s, 1e-6)
+    mel_s = max(mel_raw - floor_s, 1e-6)
+    audio_seconds = B * T * hop / sr
+    rtf = e2e_s / audio_seconds
+    mel_fps = B * T / mel_s
+    result = {
+        "metric": "rtf_text_to_wav_b32_1chip",
+        "value": round(rtf, 6),
+        "unit": "rtf",
+        "vs_baseline": round(0.01 / rtf, 2),
+        "extras": {
+            "e2e_ms_per_batch": round(e2e_s * 1000, 2),
+            "e2e_ms_raw_incl_relay_latency": round(e2e_raw * 1000, 2),
+            "relay_floor_ms": round(floor_s * 1000, 2),
+            "acoustic_ms_per_batch": round(mel_s * 1000, 2),
+            "acoustic_mel_frames_per_sec_per_chip": round(mel_fps),
+            "audio_seconds_per_batch": round(audio_seconds, 2),
+            "batch": B,
+            "static_frames": T,
+            "device": str(jax.devices()[0]),
+            "vocoder": "HiFi-GAN-iSTFT (fast variant)",
+            "weights": weights,
+            "partial": "extras still measuring; final line follows",
+        },
+    }
+    emit(result)
+    del result["extras"]["partial"]
+
     parity_s = None
     if not args.skip_parity_vocoder:
         parity_raw = timed(e2e_parity_sum, parity_packs, args.trials)
@@ -229,32 +265,6 @@ def _main():
                  jnp.asarray(t[:1]), jnp.asarray(l[:1])) for t, l in packs]
     b1_s = max(timed(e2e_sum, b1_packs, args.trials) - floor_s, 1e-6)
 
-    e2e_s = max(e2e_raw - floor_s, 1e-6)
-    mel_s = max(mel_raw - floor_s, 1e-6)
-
-    audio_seconds = B * T * hop / sr
-    rtf = e2e_s / audio_seconds
-    mel_fps = B * T / mel_s
-
-    result = {
-        "metric": "rtf_text_to_wav_b32_1chip",
-        "value": round(rtf, 6),
-        "unit": "rtf",
-        "vs_baseline": round(0.01 / rtf, 2),
-        "extras": {
-            "e2e_ms_per_batch": round(e2e_s * 1000, 2),
-            "e2e_ms_raw_incl_relay_latency": round(e2e_raw * 1000, 2),
-            "relay_floor_ms": round(floor_s * 1000, 2),
-            "acoustic_ms_per_batch": round(mel_s * 1000, 2),
-            "acoustic_mel_frames_per_sec_per_chip": round(mel_fps),
-            "audio_seconds_per_batch": round(audio_seconds, 2),
-            "batch": B,
-            "static_frames": T,
-            "device": str(jax.devices()[0]),
-            "vocoder": "HiFi-GAN-iSTFT (fast variant)",
-            "weights": weights,
-        },
-    }
     if parity_s is not None:
         result["extras"]["e2e_ms_parity_vocoder"] = round(parity_s * 1000, 2)
         result["extras"]["rtf_parity_vocoder"] = round(
@@ -265,6 +275,8 @@ def _main():
             c8c2i_s / audio_seconds, 6)
     result["extras"]["e2e_ms_b1"] = round(b1_s * 1000, 2)
     result["extras"]["rtf_b1"] = round(b1_s / (T * hop / sr), 6)
+    if not args.skip_train:
+        emit(result)  # checkpoint before the multi-minute train compile
 
     if not args.skip_train:
         from fastspeech2_tpu.training import (
@@ -306,8 +318,11 @@ def _main():
             p_targets=tbatches[0]["pitches"],
             e_targets=tbatches[0]["energies"],
             d_targets=tbatches[0]["durations"], train=True)
+        from fastspeech2_tpu.training.step import dropout_key
+
         state = TrainState.create(tvars, optimizer)
         raw_step = make_train_step(acoustic, cfg, optimizer)
+        step_rng = dropout_key(0)
 
         @jax.jit
         def step_sum(state, batch, rng):
@@ -318,12 +333,12 @@ def _main():
                 new_state.params["mel_linear"]["Dense_0"]["bias"])
             return new_state, losses.total + probe * 1e-9
 
-        state, total = step_sum(state, tbatches[0], rng)
+        state, total = step_sum(state, tbatches[0], step_rng)
         float(total)  # compile + warm
         best = float("inf")
         for i in range(args.trials):
             t0 = time.time()
-            state, total = step_sum(state, tbatches[(i + 1) % 4], rng)
+            state, total = step_sum(state, tbatches[(i + 1) % 4], step_rng)
             float(total)
             best = min(best, time.time() - t0)
         step_s = max(best - floor_s, 1e-6)
@@ -333,7 +348,7 @@ def _main():
         try:
             # MFU vs the chip's measured bf16 speed of light
             # (~197 TF/s on this v5e, docs/tpu_notes.md)
-            ca = step_sum.lower(state, tbatches[0], rng).compile(
+            ca = step_sum.lower(state, tbatches[0], step_rng).compile(
             ).cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]

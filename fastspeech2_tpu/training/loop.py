@@ -238,8 +238,10 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         train_config["path"]["log_path"], "val"))
     ckpt_dir = train_config["path"]["ckpt_path"]
 
+    from fastspeech2_tpu.training.step import dropout_key
+
     batch_sharding = NamedSharding(mesh, P("data"))
-    rng = jax.random.PRNGKey(restore_step + 1)
+    rng = dropout_key(restore_step + 1)
     step = restore_step
     epoch = 0
     t0 = time.time()

@@ -54,6 +54,17 @@ def _apply_model(model, cfg, params, batch_stats, batch, rng, train,
     return losses, new_stats, out
 
 
+def dropout_key(seed):
+    """Training dropout PRNG key using the TPU-native RBG generator.
+
+    The default threefry keygen is ALU-heavy on TPU: measured ~5 ms of a
+    ~22 ms full train step at the bench shapes (23%). Dropout needs
+    statistical, not counter-exact, randomness, so the hardware RNG is
+    the right tool; on CPU rbg also works (tests are unaffected — none
+    pins a specific dropout pattern)."""
+    return jax.random.key(seed, impl="rbg")
+
+
 def make_train_step(model, cfg, optimizer, grad_acc_step=1):
     """Build train_step(state, batch, rng) -> (state, LossOutput).
 
