@@ -341,8 +341,42 @@ def _main():
             state, total = step_sum(state, tbatches[(i + 1) % 4], step_rng)
             float(total)
             best = min(best, time.time() - t0)
-        step_s = max(best - floor_s, 1e-6)
+        dispatch_s = max(best - floor_s, 1e-6)
+
+        # device-time measurement: scan SCAN_STEPS steps in-graph, cycling
+        # the 4 distinct batches.  Per-dispatch relay overhead (~10 ms
+        # beyond the subtracted floor, an artifact of this environment's
+        # tunnel) amortizes away, leaving true per-step device compute —
+        # component-level profiling cross-checks this (grad ~10.6 ms +
+        # adam ~0.6 ms at these shapes vs ~22 ms at dispatch level).
+        SCAN_STEPS = 8
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *tbatches)
+
+        @jax.jit
+        def step_scan_sum(state, batches, rng):
+            def body(st, i):
+                batch = jax.tree_util.tree_map(
+                    lambda a: a[i % 4], batches)
+                st, losses = raw_step(st, batch, rng)
+                return st, losses.total
+            st, totals = jax.lax.scan(
+                body, state, jnp.arange(SCAN_STEPS))
+            probe = jnp.sum(st.params["mel_linear"]["Dense_0"]["bias"])
+            return jnp.sum(totals) + probe * 1e-9
+
+        float(step_scan_sum(state, stacked, step_rng))  # compile + warm
+        best = float("inf")
+        for i in range(args.trials):
+            t0 = time.time()
+            float(step_scan_sum(state, stacked,
+                                dropout_key(i + 1)))
+            best = min(best, time.time() - t0)
+        step_s = max((best - floor_s) / SCAN_STEPS, 1e-6)
+
         result["extras"]["train_step_ms_b16"] = round(step_s * 1000, 2)
+        result["extras"]["train_step_dispatch_ms"] = round(
+            dispatch_s * 1000, 2)
         result["extras"]["train_mel_frames_per_sec_per_chip"] = round(
             tb * tt / step_s)
         try:

@@ -17,6 +17,7 @@ TPU-fast non-parity topology see models/hifigan_istft.py.
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +29,41 @@ def _same_pad(kernel_size, dilation=1):
     return ((pad, pad),)
 
 
+class _RawConv(nn.Module):
+    """Conv1d params under the exact tree path/shapes/inits nn.Conv uses,
+    so checkpoints and the torch converters are layout-identical while the
+    forward can be routed through either XLA or the fused Pallas kernel."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def resolve_resblock_backend(backend, channels, length, kernel_size,
+                             dilations, dtype):
+    """'auto' -> XLA, by measurement.  The fused Pallas resblock
+    (ops/pallas_resblock.py) was built to attack the narrow-channel MXU
+    underfill but measured ~2x SLOWER than XLA on v5e (e.g. C=64 k=11:
+    45.5 vs 22.5 ms/resblock at B=32): XLA's im2col conv already packs
+    the k taps into a full contraction dim, while the kernel pays VPU
+    sublane-rotation copies to build the same lhs, and the N=C output
+    underfill caps both equally (docs/tpu_notes.md).  The kernel remains
+    available as an explicit 'pallas' opt-in."""
+    if backend != "auto":
+        return backend
+    return "xla"
+
+
 class ResBlock(nn.Module):
     """MRF residual block: 3 x [lrelu -> dilated conv -> lrelu -> conv]."""
 
@@ -35,24 +71,45 @@ class ResBlock(nn.Module):
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x):
+        convs = []
         for j, d in enumerate(self.dilations):
-            xt = nn.leaky_relu(x, LRELU_SLOPE)
-            xt = nn.Conv(
-                self.channels, (self.kernel_size,), kernel_dilation=(d,),
-                padding=_same_pad(self.kernel_size, d),
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"conv1_{j}",
-            )(xt)
-            xt = nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = nn.Conv(
-                self.channels, (self.kernel_size,),
-                padding=_same_pad(self.kernel_size, 1),
-                dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"conv2_{j}",
-            )(xt)
+            w1, b1 = _RawConv(self.channels, self.kernel_size,
+                              self.channels, name=f"conv1_{j}")()
+            w2, b2 = _RawConv(self.channels, self.kernel_size,
+                              self.channels, name=f"conv2_{j}")()
+            convs.append((w1, b1, w2, b2, d))
+
+        backend = resolve_resblock_backend(
+            self.backend, self.channels, x.shape[1], self.kernel_size,
+            self.dilations, x.dtype)
+        if backend in ("pallas", "pallas_interpret"):
+            from fastspeech2_tpu.ops.pallas_resblock import fused_resblock
+
+            w1s = jnp.stack([c[0] for c in convs])
+            b1s = jnp.stack([c[1] for c in convs])
+            w2s = jnp.stack([c[2] for c in convs])
+            b2s = jnp.stack([c[3] for c in convs])
+            return fused_resblock(x, w1s, b1s, w2s, b2s,
+                                  tuple(self.dilations),
+                                  backend == "pallas_interpret")
+
+        for w1, b1, w2, b2, d in convs:
+            xt = nn.leaky_relu(x, LRELU_SLOPE).astype(self.dtype)
+            xt = jax.lax.conv_general_dilated(
+                xt, w1.astype(self.dtype), (1,),
+                _same_pad(self.kernel_size, d), rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b1.astype(self.dtype)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE).astype(self.dtype)
+            xt = jax.lax.conv_general_dilated(
+                xt, w2.astype(self.dtype), (1,),
+                _same_pad(self.kernel_size, 1),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + b2.astype(self.dtype)
             x = x + xt
         return x
 
@@ -66,6 +123,7 @@ class HiFiGANGenerator(nn.Module):
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     n_mel_channels: int = 80
     dtype: jnp.dtype = jnp.float32
+    resblock_backend: str = "auto"
 
     @nn.compact
     def __call__(self, mel):
@@ -97,6 +155,7 @@ class HiFiGANGenerator(nn.Module):
             ):
                 y = ResBlock(
                     ch, rk, tuple(rd), dtype=self.dtype,
+                    backend=self.resblock_backend,
                     name=f"resblock_{i * num_kernels + j}",
                 )(x)
                 acc = y if acc is None else acc + y

@@ -109,10 +109,14 @@ class FoldedHiFiGAN:
     """
 
     def __init__(self, params, config=None, min_lanes=128, fold_below=128,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, resblock_backend="auto"):
         """min_lanes sets the fold factor F = ceil(min_lanes/ch);
         fold_below=0 disables folding entirely, fold_below>=1000 with the
-        default cost model folds wherever profitable (tests override)."""
+        default cost model folds wherever profitable (tests override).
+        resblock_backend: 'auto'/'fold' use the fold/XLA path (measured
+        fastest); 'pallas'/'pallas_interpret' force the fused Pallas
+        resblock (ops/pallas_resblock.py — measured ~2x slower than XLA
+        on v5e, kept as an opt-in)."""
         config = config or {}
         self.up_rates = tuple(config.get("upsample_rates", (8, 8, 2, 2)))
         self.up_kernels = tuple(
@@ -133,6 +137,35 @@ class FoldedHiFiGAN:
         self.stages = []
         for i in range(len(self.up_rates)):
             ch = self.init_ch // (2 ** (i + 1))
+
+            # 'auto' stays on the fold/XLA path: the fused Pallas resblock
+            # measured ~2x slower than XLA's im2col convs on v5e (see
+            # models/hifigan.py::resolve_resblock_backend); it remains an
+            # explicit opt-in for future hardware where the trade flips
+            use_pallas = resblock_backend in ("pallas", "pallas_interpret")
+            if use_pallas:
+                # fused Pallas resblock per MRF branch; no folding (the
+                # kernel tap-packs the contraction dim instead)
+                blocks = []
+                for j, (k, dils) in enumerate(
+                        zip(self.rb_kernels, self.rb_dilations)):
+                    rb = p[f"resblock_{i * nk + j}"]
+                    blocks.append((
+                        jnp.stack([jnp.asarray(rb[f"conv1_{t}"]["kernel"])
+                                   for t in range(len(dils))]),
+                        jnp.stack([jnp.asarray(rb[f"conv1_{t}"]["bias"])
+                                   for t in range(len(dils))]),
+                        jnp.stack([jnp.asarray(rb[f"conv2_{t}"]["kernel"])
+                                   for t in range(len(dils))]),
+                        jnp.stack([jnp.asarray(rb[f"conv2_{t}"]["bias"])
+                                   for t in range(len(dils))]),
+                        tuple(dils),
+                    ))
+                self.stages.append((
+                    "pallas_interpret" if resblock_backend ==
+                    "pallas_interpret" else "pallas", blocks))
+                continue
+
             F = max(1, -(-min_lanes // ch)) if ch < fold_below else 1
             if not _stage_should_fold(ch, F, self.rb_kernels,
                                       self.rb_dilations):
@@ -178,6 +211,18 @@ class FoldedHiFiGAN:
                 x = x[:, crop:-crop, :]
             F, blocks = self.stages[i]
             b, t, c = x.shape
+            if F in ("pallas", "pallas_interpret"):
+                from fastspeech2_tpu.ops.pallas_resblock import (
+                    fused_resblock,
+                )
+
+                acc = None
+                for w1s, b1s, w2s, b2s, dils in blocks:
+                    y = fused_resblock(x, w1s, b1s, w2s, b2s, dils,
+                                       F == "pallas_interpret")
+                    acc = y if acc is None else acc + y
+                x = acc / len(blocks)
+                continue
             if F > 1:
                 # enter folded layout once for the whole stage; every conv
                 # in it carries folded weights

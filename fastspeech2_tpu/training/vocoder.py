@@ -282,6 +282,10 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         gen = HiFiGANiSTFTGenerator(**gen_cfg,
                                     n_mel_channels=n_mel_channels)
     else:
+        # training always takes XLA resblocks: the fused Pallas resblock's
+        # backward is an XLA recompute, so kernel-fwd + recompute-bwd would
+        # be strictly slower than plain XLA fwd+bwd
+        gen_cfg.setdefault("resblock_backend", "xla")
         gen = HiFiGANGenerator(**gen_cfg, n_mel_channels=n_mel_channels)
     disc = HiFiGANDiscriminators(**(discriminator_config or {}))
     mel_fn = MelSpectrogram(

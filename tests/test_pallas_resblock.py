@@ -1,0 +1,143 @@
+"""Fused MRF ResBlock kernel vs the XLA reference (interpret mode on CPU).
+
+Covers multi-tile halo exchange (L > tile), sequence-edge SAME-padding
+semantics, both narrow channel counts (32 -> G=4, 64 -> G=2), all three
+reference kernel sizes, and the custom-VJP backward fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.ops.pallas_resblock import (
+    _halo,
+    fused_resblock,
+    xla_resblock,
+)
+
+DILS = (1, 3, 5)
+
+
+def _randn(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def _weights(c, k, scale=0.3):
+    w1 = _randn(1, (len(DILS), k, c, c)) * scale
+    b1 = _randn(2, (len(DILS), c)) * scale
+    w2 = _randn(3, (len(DILS), k, c, c)) * scale
+    b2 = _randn(4, (len(DILS), c)) * scale
+    return w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("c,k,length", [
+    (8, 3, 512),       # single tile
+    (8, 11, 1024),     # wide halo
+    (16, 7, 512),
+])
+def test_fused_matches_xla_single_tile(c, k, length):
+    x = _randn(0, (2, length, c))
+    w1, b1, w2, b2 = _weights(c, k)
+    ref = xla_resblock(x, w1, b1, w2, b2, DILS)
+    out = fused_resblock(x, w1, b1, w2, b2, DILS, True)
+    # fp32 reassociation: tap-packed accumulation orders sums differently
+    # from XLA's conv across a 6-conv chain
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_fused_matches_xla_multi_tile():
+    # L = 8192 -> two 4096 tiles: exercises the halo exchange between
+    # tiles AND the zero-padded sequence edges on tiles 0 and n-1
+    c, k = 8, 11
+    x = _randn(0, (1, 8192, c))
+    w1, b1, w2, b2 = _weights(c, k)
+    ref = xla_resblock(x, w1, b1, w2, b2, DILS)
+    out = fused_resblock(x, w1, b1, w2, b2, DILS, True)
+    # fp32 reassociation: tap-packed accumulation orders sums differently
+    # from XLA's conv across a 6-conv chain
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_edge_padding_not_contaminated_by_bias():
+    # A pure-bias conv chain: with zero input the output near the sequence
+    # edges is shaped ONLY by each conv's own zero padding; a halo that
+    # leaks lrelu(bias) into downstream convs would differ from XLA here.
+    c, k = 8, 3
+    x = jnp.zeros((1, 1024, c), jnp.float32)
+    w1, b1, w2, b2 = _weights(c, k, scale=1.0)
+    ref = xla_resblock(x, w1, b1, w2, b2, DILS)
+    out = fused_resblock(x, w1, b1, w2, b2, DILS, True)
+    # fp32 reassociation: tap-packed accumulation orders sums differently
+    # from XLA's conv across a 6-conv chain
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_bf16_shapes_match_vocoder_stage():
+    # the real ch=32 stage shape (scaled-down length), bf16 like inference.
+    # bf16 has ~8 mantissa bits, so compare against the activation SCALE:
+    # random 0.3-scale weights drive |x| to ~270 where one bf16 ulp is 2.0
+    c, k = 32, 3
+    x = _randn(0, (2, 1024, c)).astype(jnp.bfloat16)
+    w1, b1, w2, b2 = _weights(c, k)
+    ref = np.asarray(xla_resblock(x, w1, b1, w2, b2, DILS), np.float32)
+    out = np.asarray(fused_resblock(x, w1, b1, w2, b2, DILS, True),
+                     np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 0.02 * scale
+    assert np.abs(out - ref).mean() < 0.005 * scale
+
+
+def test_backward_uses_xla_recompute():
+    c, k = 8, 3
+    x = _randn(0, (1, 512, c))
+    w1, b1, w2, b2 = _weights(c, k)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(fused_resblock(x, w1, b1, w2, b2, DILS, True) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(xla_resblock(x, w1, b1, w2, b2, DILS) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, b1, w2, b2)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_halo_formula():
+    assert _halo(3, DILS) == 1 * (2 + 4 + 6)
+    assert _halo(11, DILS) == 5 * (2 + 4 + 6)
+
+
+def test_generator_pallas_backend_matches_xla():
+    from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+
+    mel = _randn(7, (1, 16, 80))
+    gen_x = HiFiGANGenerator(dtype=jnp.float32, resblock_backend="xla")
+    params = gen_x.init(jax.random.PRNGKey(0), mel)
+    ref = gen_x.apply(params, mel)
+    gen_p = HiFiGANGenerator(dtype=jnp.float32,
+                             resblock_backend="pallas_interpret")
+    out = gen_p.apply(params, mel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_folded_evaluator_pallas_matches_fold_path():
+    from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+    from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
+
+    mel = _randn(8, (1, 16, 80))
+    gen = HiFiGANGenerator(dtype=jnp.float32, resblock_backend="xla")
+    params = gen.init(jax.random.PRNGKey(1), mel)
+    ref = FoldedHiFiGAN(params, dtype=jnp.float32,
+                        resblock_backend="fold")(mel)
+    out = FoldedHiFiGAN(params, dtype=jnp.float32,
+                        resblock_backend="pallas_interpret")(mel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
