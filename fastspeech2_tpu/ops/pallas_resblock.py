@@ -102,7 +102,7 @@ def _conv_taps(t, wp_ref, u, k, d, s_lo, s_hi, c, lhs_ref):
     stores and dots are strictly phase-separated.
     """
     p = (k - 1) // 2
-    g = max(1, 128 // c)
+    g = min(max(1, 128 // c), k)
     nch = -(-k // g)
     n = s_hi - s_lo
     for sl in range(nch * g):
@@ -185,7 +185,9 @@ def _pallas_forward(x, w1, b1, w2, b2, dilations, interpret=False):
         return xla_resblock(x, w1, b1, w2, b2, dilations)
     nl = L // lt
     dt = x.dtype
-    g = max(1, 128 // C)
+    # cap tap-group size at k: beyond that the extra slots are pure
+    # zero-weight padding (and interpret-mode cost)
+    g = min(max(1, 128 // C), k)
     nch = -(-k // g)
     kernel = functools.partial(_resblock_kernel, k=k,
                                dilations=tuple(dilations), lt=lt, halo=halo)

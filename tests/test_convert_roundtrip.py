@@ -29,7 +29,8 @@ def test_roundtrip_identity(reference_root):
         energy_max=1, attention_backend="xla", ffn_backend="xla")
     model = FastSpeech2(cfg)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(
+    variables = jax.jit(
+        model.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         jnp.zeros((1,), jnp.int32), jnp.ones((1, 4), jnp.int32),
         jnp.asarray([4]), max_mel_len=8, train=False)

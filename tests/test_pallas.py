@@ -119,7 +119,8 @@ def test_model_with_pallas_interpret_backend():
     rng = jax.random.PRNGKey(0)
     texts = jnp.ones((2, 8), jnp.int32)
     src_lens = jnp.asarray([8, 6])
-    variables = model.init(
+    variables = jax.jit(
+        model.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         jnp.zeros((2,), jnp.int32), texts, src_lens,
         max_mel_len=16, train=False)

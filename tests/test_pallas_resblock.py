@@ -114,15 +114,29 @@ def test_halo_formula():
     assert _halo(11, DILS) == 5 * (2 + 4 + 6)
 
 
+# a narrow 2-stage generator keeps interpret-mode wiring tests cheap:
+# same code paths (narrow-channel MRF stages, dilated+plain convs, the
+# stage average), a fraction of the emulated kernel cells.  Tap-size and
+# channel coverage live in the direct kernel tests above.
+_TINY_CFG = {
+    "upsample_initial_channel": 64,
+    "upsample_rates": (8, 2),
+    "upsample_kernel_sizes": (16, 4),
+    "resblock_kernel_sizes": (3, 7),
+    "resblock_dilation_sizes": ((1, 3), (1, 3)),
+}
+_TINY_GEN = dict(dtype=jnp.float32, **_TINY_CFG)
+
+
 def test_generator_pallas_backend_matches_xla():
     from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
 
-    mel = _randn(7, (1, 16, 80))
-    gen_x = HiFiGANGenerator(dtype=jnp.float32, resblock_backend="xla")
+    mel = _randn(7, (1, 8, 80))
+    gen_x = HiFiGANGenerator(resblock_backend="xla", **_TINY_GEN)
     params = gen_x.init(jax.random.PRNGKey(0), mel)
     ref = gen_x.apply(params, mel)
-    gen_p = HiFiGANGenerator(dtype=jnp.float32,
-                             resblock_backend="pallas_interpret")
+    gen_p = HiFiGANGenerator(resblock_backend="pallas_interpret",
+                             **_TINY_GEN)
     out = gen_p.apply(params, mel)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
@@ -132,12 +146,12 @@ def test_folded_evaluator_pallas_matches_fold_path():
     from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
     from fastspeech2_tpu.models.hifigan_folded import FoldedHiFiGAN
 
-    mel = _randn(8, (1, 16, 80))
-    gen = HiFiGANGenerator(dtype=jnp.float32, resblock_backend="xla")
+    mel = _randn(8, (1, 8, 80))
+    gen = HiFiGANGenerator(resblock_backend="xla", **_TINY_GEN)
     params = gen.init(jax.random.PRNGKey(1), mel)
-    ref = FoldedHiFiGAN(params, dtype=jnp.float32,
+    ref = FoldedHiFiGAN(params, config=_TINY_CFG, dtype=jnp.float32,
                         resblock_backend="fold")(mel)
-    out = FoldedHiFiGAN(params, dtype=jnp.float32,
+    out = FoldedHiFiGAN(params, config=_TINY_CFG, dtype=jnp.float32,
                         resblock_backend="pallas_interpret")(mel)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

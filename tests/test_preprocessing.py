@@ -9,6 +9,9 @@ import pytest
 from fastspeech2_tpu.audio.wav import save_wav
 from fastspeech2_tpu.preprocessing import Preprocessor, read_textgrid
 
+# sil-trimmed speech spans 0.25-1.73 s = 32634 samples: one 32768 DSP
+# bucket.  (At the round 1.75 the trim was 33075 samples -- 307 over the
+# bucket edge, doubling every mel/DIO dispatch shape in these tests.)
 LONG_TG = """File type = "ooTextFile"
 Object class = "TextGrid"
 
@@ -43,10 +46,10 @@ item []:
             text = "HH"
         intervals [3]:
             xmin = 1.0
-            xmax = 1.75
+            xmax = 1.73
             text = "OW1"
         intervals [4]:
-            xmin = 1.75
+            xmin = 1.73
             xmax = 2.0
             text = "sp"
 """
@@ -59,7 +62,7 @@ def test_read_long_textgrid(tmp_path):
     phones = tg.get_tier_by_name("phones")
     assert [iv.text for iv in phones.intervals] == ["sil", "HH", "OW1", "sp"]
     assert phones.intervals[1].start_time == 0.25
-    assert phones.intervals[2].end_time == 1.75
+    assert phones.intervals[2].end_time == 1.73
 
 
 def test_mfa_wrapper(tmp_path, monkeypatch):
@@ -164,8 +167,8 @@ def test_preprocessor_end_to_end(tmp_path):
     assert len(dur) == 2
     assert len(pitch) == 2 and len(energy) == 2
 
-    # durations: 0.25-1.0s and 1.0-1.75s at hop 256 => ~65, ~64 frames
-    assert abs(int(dur[0]) - 65) <= 1 and abs(int(dur[1]) - 65) <= 1
+    # durations: 0.25-1.0s and 1.0-1.73s at hop 256 => ~65, ~63 frames
+    assert abs(int(dur[0]) - 65) <= 1 and abs(int(dur[1]) - 63) <= 1
 
     # normalized stats: roughly zero-mean
     import json

@@ -33,10 +33,10 @@ def demo_wavs(reference_root):
         sr, w = wavfile.read(p)
         y = (w / 32768.0).astype(np.float32)
         n_frames = 1 + len(y) // 256
-        # pad every wav to one static length so the jitted F0 extractors
-        # compile once for all files (padding is unvoiced silence; stats
-        # below only look at the original frame range)
-        padded = np.zeros(22050 * 10, np.float32)
+        # pad/truncate every wav to one static length so the jitted F0
+        # extractors compile once for all files (6 s of real speech keeps
+        # every statistical assertion stable at ~60% of the DSP cost)
+        padded = np.zeros(22050 * 6, np.float32)
         padded[: len(y)] = y[: len(padded)]
         out.append((sr, padded, min(n_frames, 1 + len(padded) // 256)))
     return out

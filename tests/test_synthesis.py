@@ -51,7 +51,8 @@ def synthesizer():
     rng = jax.random.PRNGKey(0)
     import jax.numpy as jnp
 
-    variables = model.init(
+    variables = jax.jit(
+        model.init, static_argnames=("max_mel_len", "train"))(
         {"params": rng, "dropout": rng},
         jnp.zeros((1,), jnp.int32), jnp.ones((1, 8), jnp.int32),
         jnp.asarray([8]), max_mel_len=16, train=False)

@@ -18,26 +18,12 @@ from fastspeech2_tpu.training import (
     save_checkpoint,
 )
 
-from helpers import synthetic_batch, tiny_config
+from helpers import init_variables, synthetic_batch, tiny_config
 
 
 def _init(cfg, batch, seed=0):
     model = FastSpeech2(cfg)
-    rng = jax.random.PRNGKey(seed)
-    variables = model.init(
-        {"params": rng, "dropout": rng},
-        jnp.asarray(batch["speakers"]),
-        jnp.asarray(batch["texts"]),
-        jnp.asarray(batch["src_lens"]),
-        mels=jnp.asarray(batch["mels"]),
-        mel_lens=jnp.asarray(batch["mel_lens"]),
-        max_mel_len=batch["mels"].shape[1],
-        p_targets=jnp.asarray(batch["pitches"]),
-        e_targets=jnp.asarray(batch["energies"]),
-        d_targets=jnp.asarray(batch["durations"]),
-        train=True,
-    )
-    return model, variables
+    return model, init_variables(model, batch, seed)
 
 
 def test_loss_decreases_overfit():

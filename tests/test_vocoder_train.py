@@ -105,8 +105,8 @@ def test_vocoder_train_step_losses_improve():
     wav = jnp.asarray(base)
 
     mel0 = mel_fn(wav)[0][:, :, : SEG // 256].transpose(0, 2, 1)
-    gen_params = gen.init(rng, mel0)["params"]
-    disc_params = disc.init(rng, wav)["params"]
+    gen_params = jax.jit(gen.init)(rng, mel0)["params"]
+    disc_params = jax.jit(disc.init)(rng, wav)["params"]
     gen_opt, _ = make_vocoder_optimizer(2e-4)
     disc_opt, _ = make_vocoder_optimizer(2e-4)
     state = VocoderTrainState.create(gen_params, disc_params,
@@ -152,8 +152,8 @@ def test_vocoder_step_data_parallel():
     wav = r.randn(4, SEG).astype(np.float32) * 0.3
 
     mel0 = mel_fn(jnp.asarray(wav))[0][:, :, : SEG // 256].transpose(0, 2, 1)
-    gen_params = gen.init(rng, mel0)["params"]
-    disc_params = disc.init(rng, jnp.asarray(wav))["params"]
+    gen_params = jax.jit(gen.init)(rng, mel0)["params"]
+    disc_params = jax.jit(disc.init)(rng, jnp.asarray(wav))["params"]
     gen_opt, _ = make_vocoder_optimizer(2e-4)
     disc_opt, _ = make_vocoder_optimizer(2e-4)
     from fastspeech2_tpu.utils.jit_cache import cached_jit
