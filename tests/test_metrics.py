@@ -1,0 +1,71 @@
+"""Objective quality metrics: MCD + F0 metrics sanity and invariants."""
+
+import numpy as np
+
+from fastspeech2_tpu.evaluation import f0_metrics, mcd
+from fastspeech2_tpu.evaluation.metrics import _dct_ortho, _dtw_path
+
+
+def _tone(freq, seconds=1.0, sr=22050, vibrato=0.0):
+    t = np.arange(int(sr * seconds)) / sr
+    f = freq * (1 + vibrato * np.sin(2 * np.pi * 3.0 * t))
+    phase = 2 * np.pi * np.cumsum(f) / sr
+    return (0.5 * np.sin(phase)).astype(np.float32)
+
+
+def test_dct_matches_scipy_convention():
+    x = np.random.RandomState(0).randn(4, 16)
+    c = _dct_ortho(x, 16)
+    # orthonormal: transform preserves energy
+    np.testing.assert_allclose((c ** 2).sum(), (x ** 2).sum(), rtol=1e-6)
+
+
+def test_dtw_identity_is_diagonal():
+    cost = 1.0 - np.eye(5)
+    path = _dtw_path(cost)
+    assert path == [(i, i) for i in range(5)]
+
+
+def test_mcd_zero_for_identical_and_orders_similarity():
+    a = _tone(220.0)
+    b = _tone(233.0)          # a semitone away: small timbre change
+    noise = np.random.RandomState(1).randn(len(a)).astype(np.float32) * 0.3
+    assert mcd(a, a) < 1e-4
+    d_near = mcd(a, b)
+    d_far = mcd(a, noise)
+    assert 0 < d_near < d_far
+
+
+def test_f0_metrics_detect_pitch_shift():
+    a = _tone(200.0, vibrato=0.01)
+    b = _tone(220.0, vibrato=0.01)
+    m = f0_metrics(a, b)
+    # both fully voiced; RMSE ~ the 20 Hz shift
+    assert m["voicing_f1"] > 0.9
+    assert 10.0 < m["f0_rmse_hz"] < 30.0
+    same = f0_metrics(a, a)
+    assert same["f0_rmse_hz"] < 1.0
+    assert same["voicing_f1"] > 0.99
+
+
+def test_metrics_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    from fastspeech2_tpu.audio.wav import save_wav
+
+    a = tmp_path / "a.wav"
+    b = tmp_path / "b.wav"
+    save_wav(str(a), _tone(220.0), 22050)
+    save_wav(str(b), _tone(220.0), 22050)
+    out = subprocess.run(
+        [sys.executable, "-m", "fastspeech2_tpu.evaluation.metrics",
+         str(a), str(b)],
+        capture_output=True, text=True, check=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu",
+             "HOME": "/root"})
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["mcd_db"] < 0.5
+    assert got["voicing_f1"] > 0.99
