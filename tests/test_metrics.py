@@ -69,3 +69,24 @@ def test_metrics_cli(tmp_path):
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got["mcd_db"] < 0.5
     assert got["voicing_f1"] > 0.99
+
+
+def test_vocoder_copy_synthesis_eval(tmp_path):
+    """Pipeline validity: GT -> mel -> (random tiny vocoder) -> metrics.
+    A random vocoder scores badly but the plumbing must produce finite
+    numbers with the right keys."""
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.evaluation.vocoder_eval import evaluate_vocoder
+    from fastspeech2_tpu.synthesis.vocoder import HiFiGANVocoder
+
+    wav = tmp_path / "gt.wav"
+    save_wav(str(wav), _tone(220.0, seconds=0.5), 22050)
+    vocoder = HiFiGANVocoder(config={
+        "upsample_rates": [8, 4], "upsample_kernel_sizes": [16, 8],
+        "upsample_initial_channel": 32, "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]], "num_mels": 80,
+        "gen_istft_n_fft": 16, "gen_istft_hop_size": 8})
+    per_file, mean = evaluate_vocoder(vocoder, [str(wav)])
+    assert len(per_file) == 1
+    assert np.isfinite(mean["mcd_db"]) and mean["mcd_db"] > 0
+    assert set(mean) >= {"mcd_db", "voicing_f1"}
