@@ -157,3 +157,21 @@ def test_g2p_verbalizes_digits():
     assert "sp" not in out
     # ordinals verbalize too
     assert "F ER1 S T" in english_to_phones("the 21st", lex)
+
+
+def test_g2p_hostile_inputs_never_crash_or_empty():
+    """Serving sees arbitrary text: every input must yield a non-empty,
+    in-vocabulary ID sequence (degenerate input maps to {sp} silence)."""
+    from fastspeech2_tpu.text import text_to_sequence
+    from fastspeech2_tpu.text.g2p import english_to_phones
+
+    cases = ["", "   ", "!!!", "123", "café naïve", "e=mc^2", "🎉 party",
+             "foo@bar.com", "a" * 300, "tab\there", "new\nline",
+             "quote \"x\" 'y'", "10,000,000 dollars and 3.14 pies",
+             "{AH0 B} braces", "mixed 中文 text", "\x00null"]
+    for text in cases:
+        phones = english_to_phones(text, {})
+        assert phones, repr(text)
+        ids = text_to_sequence(phones, ["english_cleaners"])
+        assert len(ids) > 0, repr(text)
+        assert all(0 <= i < 361 for i in ids), repr(text)
