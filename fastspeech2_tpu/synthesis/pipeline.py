@@ -99,6 +99,35 @@ class Synthesizer:
                              if os.path.exists(path) else {})
         return self._lexicon
 
+    def _pack_batch(self, id_seqs, speakers):
+        """Pad phone IDs to (batch-bucket, text-bucket) static shapes.
+
+        The batch dim rounds up to a power of two so a serving coalescer
+        (or any varying caller) hits a bounded set of compiled
+        executables instead of one per batch size — measured on the
+        relay, an unbucketed batch dim put a fresh multi-second compile
+        in the p95 of a steady request load.  Padding rows duplicate
+        row 0, so batch-max quantities (PostNet frame mask, extended
+        mel-length re-dispatch) are unchanged; callers slice all
+        per-sample outputs with the REAL batch count.
+        """
+        B = len(id_seqs)
+        Bb = max(1, 1 << (B - 1).bit_length())
+        P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
+        texts = np.zeros((Bb, P), np.int32)
+        src_lens = np.zeros(Bb, np.int32)
+        for b in range(Bb):
+            s = id_seqs[b] if b < B else id_seqs[0]
+            texts[b, : len(s)] = s
+            src_lens[b] = len(s)
+        if speakers is None:
+            spk = np.zeros(Bb, np.int32)
+        else:
+            spk = np.asarray(speakers, np.int32)
+            spk = np.concatenate(
+                [spk, np.full(Bb - B, spk[0], np.int32)])
+        return spk, texts, src_lens
+
     def text_to_ids(self, text):
         pp = self.preprocess_config["preprocessing"]
         language = pp["text"]["language"]
@@ -132,14 +161,7 @@ class Synthesizer:
         (transformer/Models.py:82-87,145-151: PE regenerated, no
         truncation at inference)."""
         B = len(id_seqs)
-        P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
-        texts = np.zeros((B, P), np.int32)
-        src_lens = np.zeros(B, np.int32)
-        for b, s in enumerate(id_seqs):
-            texts[b, : len(s)] = s
-            src_lens[b] = len(s)
-        if speakers is None:
-            speakers = np.zeros(B, np.int32)
+        speakers, texts, src_lens = self._pack_batch(id_seqs, speakers)
         out = self._forward(
             self.variables, jnp.asarray(speakers), jnp.asarray(texts),
             jnp.asarray(src_lens),
@@ -165,14 +187,8 @@ class Synthesizer:
         id_seqs = [self.text_to_ids(t)[0] for t in texts]
         if self._fused is not None:
             B = len(id_seqs)
-            P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
-            texts_arr = np.zeros((B, P), np.int32)
-            src_lens = np.zeros(B, np.int32)
-            for b, s in enumerate(id_seqs):
-                texts_arr[b, : len(s)] = s
-                src_lens[b] = len(s)
-            if speakers is None:
-                speakers = np.zeros(B, np.int32)
+            speakers, texts_arr, src_lens = self._pack_batch(id_seqs,
+                                                            speakers)
             wav_float, out = self._fused(
                 self.variables, self.vocoder.params,
                 jnp.asarray(speakers), jnp.asarray(texts_arr),
@@ -205,9 +221,10 @@ class Synthesizer:
         mel_len = np.asarray(out.mel_len)
         wavs = None
         if self.vocoder is not None:
+            # drop the batch-bucket padding rows (see _pack_batch)
             wavs = vocoder_infer(
                 out.postnet_mel, self.vocoder, self.preprocess_config,
-                lengths=mel_len)
+                lengths=mel_len)[: len(id_seqs)]
         return wavs, out
 
     def synthesize_long(self, text, speaker=0, p_control=1.0, e_control=1.0,
