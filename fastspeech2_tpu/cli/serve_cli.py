@@ -54,9 +54,15 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch_size", type=int, default=16)
     parser.add_argument("--max_wait_ms", type=float, default=20.0)
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="skip pre-compiling the batch/text bucket "
+                             "executables at startup (first requests then "
+                             "pay the compiles)")
     args = parser.parse_args(argv)
 
     server = build_server(args)
+    if not args.no_warmup:
+        server.batcher.warmup()
     print(f"Serving TTS on {args.host}:{server.port} "
           f"(max_batch_size={args.max_batch_size}, "
           f"max_wait_ms={args.max_wait_ms})")

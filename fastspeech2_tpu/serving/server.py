@@ -79,6 +79,35 @@ class BatchingSynthesizer:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def warmup(self, sample_texts=None, log=print):
+        """Pre-compile the bounded executable set before taking traffic.
+
+        The pipeline pads every dispatch to a power-of-two batch bucket
+        and a text-length bucket, so the set of executables a steady
+        load can hit is small and known; compiling them here moves the
+        multi-second first-hit compiles (measured 25-50 s each through
+        the TPU relay) out of request latency.
+        """
+        if sample_texts is None:
+            sample_texts = [
+                "The birch canoe slid on the smooth planks.",
+                "Glue the sheet to the dark blue background, then wait "
+                "for it to dry completely before moving it anywhere "
+                "else in the building.",
+            ]
+        sizes = []
+        b = 1
+        while b <= self.max_batch_size:
+            sizes.append(b)
+            b *= 2
+        t0 = time.monotonic()
+        for text in sample_texts:
+            for s in sizes:
+                self.synthesizer.synthesize([text] * s)
+        log(f"Warmup compiled {len(sample_texts) * len(sizes)} "
+            f"(text-bucket x batch-bucket) executables in "
+            f"{time.monotonic() - t0:.0f}s")
+
     # -- client side ----------------------------------------------------
     def synthesize(self, text, speaker=0, p_control=1.0, e_control=1.0,
                    d_control=1.0, timeout=120.0, long=False):

@@ -243,3 +243,17 @@ def test_synthesize_stream_generator(synthesizer):
     assert len(chunks) == 5
     assert all(c.dtype == np.int16 for c in chunks)
     assert np.all(chunks[1] == 0) and np.all(chunks[3] == 0)
+
+
+def test_warmup_compiles_bucket_set(synthesizer):
+    from fastspeech2_tpu.serving import BatchingSynthesizer
+
+    batcher = BatchingSynthesizer(synthesizer, max_batch_size=4)
+    msgs = []
+    batcher.warmup(sample_texts=["hello there"], log=msgs.append)
+    # batch buckets 1, 2, 4 for one text bucket
+    assert msgs and "3 (text-bucket x batch-bucket)" in msgs[0]
+    # the warmed path serves a real request immediately
+    wav = batcher.synthesize("hello there")
+    assert wav.dtype.name == "int16" and len(wav) > 0
+    batcher.stop()
