@@ -24,6 +24,12 @@ def main(argv=None):
                         help="also write a synth-sample figure (+ wavs if "
                              "a vocoder is configured) to result_path, "
                              "like the in-loop evaluation does")
+    parser.add_argument("--objective", type=int, default=0, metavar="N",
+                        help="also synthesize N val utterances end-to-end "
+                             "and report objective metrics (DTW MCD, "
+                             "duration ratio) against the ground-truth "
+                             "wavs; needs a corpus preprocessed with "
+                             "preprocessing.audio.save_trimmed_wav: true")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -80,7 +86,85 @@ def main(argv=None):
             wavfile.write(base + "_reconstructed.wav", sr, wav_rec)
             wavfile.write(base + "_synthesized.wav", sr, wav_pred)
         print(f"Synth sample written to {base}.png")
+
+    if args.objective:
+        _objective_eval(args, configs, model, variables, cfg)
     return losses
+
+
+def _objective_eval(args, configs, model, variables, cfg):
+    """Text -> wav for N val utterances, scored against ground truth.
+
+    Uses the val metadata's golden phone strings (no G2P noise) and the
+    trimmed GT wavs the preprocessor saves under <preprocessed>/wav when
+    `save_trimmed_wav` is on.  Durations diverge between prediction and
+    ground truth, so the comparison is DTW-aligned MCD plus the
+    synthesized/GT duration ratio (frame-aligned F0 metrics are for
+    copy-synthesis — see evaluation/vocoder_eval.py)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from fastspeech2_tpu.data.dataset import FeatureDataset
+    from fastspeech2_tpu.evaluation.metrics import mcd
+    from fastspeech2_tpu.synthesis import (
+        Synthesizer,
+        get_vocoder,
+        vocoder_infer,
+    )
+    from fastspeech2_tpu.text import text_to_sequence
+
+    preprocess_config, model_config, _ = configs
+    pp = preprocess_config["preprocessing"]
+    pre_path = preprocess_config["path"]["preprocessed_path"]
+    wav_dir = os.path.join(pre_path, "wav")
+    if not os.path.isdir(wav_dir):
+        print("--objective needs trimmed GT wavs: re-preprocess with "
+              "preprocessing.audio.save_trimmed_wav: true")
+        return
+    vocoder = get_vocoder(model_config, preprocess_config, None)
+    synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
+                              vocoder=vocoder)
+    names, speakers, texts, _ = FeatureDataset._read_metadata(
+        os.path.join(pre_path, "val.txt"))
+    speakers_path = os.path.join(pre_path, "speakers.json")
+    speaker_map = (json.load(open(speakers_path))
+                   if os.path.exists(speakers_path) else {})
+    sr = pp["audio"]["sampling_rate"]
+    max_wav_value = pp["audio"]["max_wav_value"]
+    cleaners = pp["text"]["text_cleaners"]
+    rows = []
+    for name, spk, phones in zip(names, speakers, texts):
+        if len(rows) >= args.objective:
+            break
+        wav_path = os.path.join(wav_dir, f"{spk}-wav-{name}.npy")
+        if not os.path.exists(wav_path):
+            continue
+        gt = np.load(wav_path).astype(np.float32)
+        ids = np.asarray(text_to_sequence(phones, cleaners), np.int32)
+        out = synthesizer.infer_ids(
+            [ids], np.asarray([speaker_map.get(spk, 0)], np.int32))
+        syn = vocoder_infer(out.postnet_mel, vocoder, preprocess_config,
+                            lengths=np.asarray(out.mel_len))[0]
+        syn = syn.astype(np.float32) / max_wav_value
+        rows.append({
+            "name": name,
+            "mcd_db": round(mcd(gt, syn, sr,
+                                hop_length=pp["stft"]["hop_length"]), 3),
+            "duration_ratio": round(len(syn) / max(len(gt), 1), 4),
+        })
+    if not rows:
+        print("--objective: no val utterances with saved GT wavs found")
+        return
+    mean_mcd = float(np.mean([r["mcd_db"] for r in rows]))
+    mean_dur = float(np.mean([r["duration_ratio"] for r in rows]))
+    for r in rows:
+        print(json.dumps(r))
+    print(json.dumps({"objective_mean": {
+        "mcd_db": round(mean_mcd, 3),
+        "duration_ratio": round(mean_dur, 4), "n": len(rows)}}))
+    return rows
 
 
 if __name__ == "__main__":

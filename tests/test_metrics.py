@@ -90,3 +90,62 @@ def test_vocoder_copy_synthesis_eval(tmp_path):
     assert len(per_file) == 1
     assert np.isfinite(mean["mcd_db"]) and mean["mcd_db"] > 0
     assert set(mean) >= {"mcd_db", "voicing_f1"}
+
+
+def test_evaluate_cli_objective(tmp_path, capsys):
+    """evaluate.py --objective: text -> wav for val utterances, scored
+    against the saved trimmed GT wavs (plumbing test on a synthetic
+    corpus with a random-init model + griffin-lim vocoder)."""
+    import os
+    import yaml
+
+    from test_preprocessing import _config, _make_raw_corpus
+    from fastspeech2_tpu.preprocessing import Preprocessor
+    from fastspeech2_tpu.cli.evaluate_cli import main
+
+    raw, out = _make_raw_corpus(str(tmp_path), n_utts=2)
+    pre_cfg = _config(raw, out)
+    pre_cfg["preprocessing"]["audio"]["save_trimmed_wav"] = True
+    Preprocessor(pre_cfg).build_from_path()
+
+    model_cfg = {
+        "transformer": {
+            "encoder_layer": 1, "encoder_head": 2, "encoder_hidden": 16,
+            "decoder_layer": 1, "decoder_head": 2, "decoder_hidden": 16,
+            "conv_filter_size": 32, "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2, "decoder_dropout": 0.2,
+        },
+        "variance_predictor": {"filter_size": 16, "kernel_size": 3,
+                               "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear",
+                               "n_bins": 16},
+        "postnet": {"embedding_dim": 16, "kernel_size": 5,
+                    "n_convolutions": 3},
+        "multi_speaker": False, "max_seq_len": 256,
+        "vocoder": {"model": "none", "speaker": "LJSpeech"},
+    }
+    train_cfg = {
+        "bucket": {"text": 8, "mel": 32},
+        "path": {"ckpt_path": str(tmp_path / "ckpt"),
+                 "log_path": str(tmp_path / "log"),
+                 "result_path": str(tmp_path / "result")},
+        "optimizer": {"batch_size": 2, "betas": [0.9, 0.98], "eps": 1e-9,
+                      "grad_clip_thresh": 1.0, "warm_up_step": 10,
+                      "anneal_steps": [], "anneal_rate": 1.0},
+        "step": {"total_step": 2, "log_step": 1, "synth_step": 100,
+                 "val_step": 100, "save_step": 2},
+    }
+    paths = {}
+    for name, c in [("preprocess", pre_cfg), ("model", model_cfg),
+                    ("train", train_cfg)]:
+        p = tmp_path / f"{name}.yaml"
+        p.write_text(yaml.safe_dump(c))
+        paths[name] = str(p)
+    losses = main(["-p", paths["preprocess"], "-m", paths["model"],
+                   "-t", paths["train"], "--objective", "2"])
+    assert all(np.isfinite(float(v)) for v in losses)
+    assert os.path.isdir(os.path.join(out, "wav"))
+    # the objective pass scored at least one utterance
+    captured = capsys.readouterr().out
+    assert '"objective_mean"' in captured and '"mcd_db"' in captured
