@@ -65,6 +65,13 @@ def test_metrics_cli(tmp_path):
         capture_output=True, text=True, check=True,
         env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
              "JAX_PLATFORMS": "cpu",
+             # share the suite's persistent compile cache: the bare env
+             # has no conftest, so without this the subprocess recompiles
+             # DIO/mel every run (~13 s)
+             "JAX_COMPILATION_CACHE_DIR":
+                 "/tmp/fastspeech2_tpu_test_jit_cache",
+             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1.0",
+             "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES": "0",
              "HOME": "/root"})
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got["mcd_db"] < 0.5
@@ -80,7 +87,8 @@ def test_vocoder_copy_synthesis_eval(tmp_path):
     from fastspeech2_tpu.synthesis.vocoder import HiFiGANVocoder
 
     wav = tmp_path / "gt.wav"
-    save_wav(str(wav), _tone(220.0, seconds=0.5), 22050)
+    # 1.0 s matches the DIO graph shape other tests compile
+    save_wav(str(wav), _tone(220.0, seconds=1.0), 22050)
     vocoder = HiFiGANVocoder(config={
         "upsample_rates": [8, 4], "upsample_kernel_sizes": [16, 8],
         "upsample_initial_channel": 32, "resblock_kernel_sizes": [3],
