@@ -8,12 +8,12 @@ import jax.numpy as jnp
 from fastspeech2_tpu.configs.config import load_yaml_configs
 
 
-def add_config_args(parser):
-    parser.add_argument("-p", "--preprocess_config", type=str, required=True,
-                        help="path to preprocess.yaml")
-    parser.add_argument("-m", "--model_config", type=str, required=True,
+def add_config_args(parser, required=True):
+    parser.add_argument("-p", "--preprocess_config", type=str,
+                        required=required, help="path to preprocess.yaml")
+    parser.add_argument("-m", "--model_config", type=str, required=required,
                         help="path to model.yaml")
-    parser.add_argument("-t", "--train_config", type=str, required=True,
+    parser.add_argument("-t", "--train_config", type=str, required=required,
                         help="path to train.yaml")
 
 

@@ -146,3 +146,51 @@ def save_torch_checkpoint(path, variables, config):
         path,
     )
     return path
+
+
+def _conv_transpose1d(sd, prefix, mod):
+    # inverse of from_torch.conv_transpose1d: flax [k, in, out]
+    # (spatially flipped) -> torch ConvTranspose1d [in, out, k]
+    import numpy as np
+
+    k = np.asarray(mod["kernel"])[::-1].transpose(1, 2, 0).copy()
+    sd[prefix + ".weight"] = _t(k)
+    if "bias" in mod:
+        sd[prefix + ".bias"] = _t(mod["bias"])
+
+
+def hifigan_state_dict_to_torch(params, upsample_rates=(8, 8, 2, 2),
+                                n_resblock_kernels=3):
+    """Flax HiFi-GAN generator params -> reference state_dict (plain conv
+    weights, i.e. the post-remove_weight_norm() layout the reference uses
+    at inference, utils/model.py:68).  Inverse of
+    from_torch.hifigan_params_from_torch."""
+    p = params["params"] if "params" in params else params
+    sd = {}
+    _conv1d(sd, "conv_pre", p["conv_pre"])
+    _conv1d(sd, "conv_post", p["conv_post"])
+    for i in range(len(upsample_rates)):
+        _conv_transpose1d(sd, f"ups.{i}", p[f"up_{i}"])
+    for i in range(len(upsample_rates) * n_resblock_kernels):
+        rb = p[f"resblock_{i}"]
+        j = 0
+        while f"conv1_{j}" in rb:       # one pair per dilation unit
+            _conv1d(sd, f"resblocks.{i}.convs1.{j}", rb[f"conv1_{j}"])
+            _conv1d(sd, f"resblocks.{i}.convs2.{j}", rb[f"conv2_{j}"])
+            j += 1
+    return sd
+
+
+def save_torch_vocoder_checkpoint(path, params,
+                                  upsample_rates=(8, 8, 2, 2),
+                                  n_resblock_kernels=3):
+    """Write a reference-format {"generator": state_dict} .pth.tar — a
+    lean deployable artifact (generator only, ~53 MB for the full model
+    vs ~900 MB for a GAN train-state checkpoint), loadable both by
+    synthesis/vocoder.py::get_vocoder and by the reference's
+    utils/model.py:57-69."""
+    import torch
+
+    torch.save({"generator": hifigan_state_dict_to_torch(
+        params, upsample_rates, n_resblock_kernels)}, path)
+    return path

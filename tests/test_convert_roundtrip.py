@@ -127,3 +127,33 @@ def test_exported_checkpoint_runs_in_reference(reference_root, tmp_path):
             rtol=1e-4)
     finally:
         sys.path.remove(reference_root)
+
+
+def test_hifigan_generator_torch_roundtrip():
+    """flax gen params -> reference state_dict -> flax: identical, and
+    the exported layout matches what hifigan_params_from_torch (and the
+    reference's post-remove_weight_norm load) expects."""
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.convert.from_torch import hifigan_params_from_torch
+    from fastspeech2_tpu.convert.to_torch import hifigan_state_dict_to_torch
+    from fastspeech2_tpu.models.hifigan import HiFiGANGenerator
+
+    gen = HiFiGANGenerator(upsample_rates=(8, 4),
+                           upsample_kernel_sizes=(16, 8),
+                           upsample_initial_channel=32,
+                           resblock_kernel_sizes=(3, 7),
+                           resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)))
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 80)))
+    sd = hifigan_state_dict_to_torch(params, (8, 4), 2)
+    assert "resblocks.3.convs2.2.weight" in sd        # last block, plain keys
+    back = hifigan_params_from_torch(sd, (8, 4), 2)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(
+        params["params"])[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(
+        back["params"])[0])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(np.asarray(flat_a[k]),
+                                   np.asarray(flat_b[k]), atol=1e-6)
