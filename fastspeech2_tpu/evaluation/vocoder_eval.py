@@ -20,10 +20,16 @@ import numpy as np
 
 
 def evaluate_vocoder(vocoder, wav_paths, sampling_rate=22050,
-                     hop_length=256, max_wav_value=32768.0):
-    """-> (per-file metric dicts, mean-metrics dict)."""
+                     hop_length=256, max_wav_value=32768.0,
+                     save_dir=None):
+    """-> (per-file metric dicts, mean-metrics dict).
+
+    save_dir, if given, receives <name>_copysyn.wav next to the metrics
+    so results can be listened to (and fed to demo_page.py)."""
+    import os
+
     from fastspeech2_tpu.audio.stft import MelSpectrogram
-    from fastspeech2_tpu.audio.wav import load_wav
+    from fastspeech2_tpu.audio.wav import load_wav, save_wav
     from fastspeech2_tpu.evaluation.metrics import f0_metrics, mcd
     from fastspeech2_tpu.synthesis.vocoder import vocoder_infer
 
@@ -32,6 +38,8 @@ def evaluate_vocoder(vocoder, wav_paths, sampling_rate=22050,
     pre = {"preprocessing": {
         "audio": {"max_wav_value": max_wav_value},
         "stft": {"hop_length": hop_length}}}
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
     per_file = []
     for path in wav_paths:
         gt, _ = load_wav(path, sampling_rate)
@@ -41,6 +49,10 @@ def evaluate_vocoder(vocoder, wav_paths, sampling_rate=22050,
         n_frames = mel.shape[1]
         syn = vocoder_infer(mel, vocoder, pre,
                             lengths=[n_frames])[0] / max_wav_value
+        if save_dir:
+            base = os.path.splitext(os.path.basename(path))[0]
+            save_wav(os.path.join(save_dir, f"{base}_copysyn.wav"),
+                     syn, sampling_rate)
         n = min(len(gt), len(syn))
         row = {"file": path,
                "mcd_db": round(mcd(gt[:n], syn[:n], sampling_rate,
@@ -67,6 +79,8 @@ def _main():
                          "if present, else random init)")
     ap.add_argument("--speaker", default="LJSpeech")
     ap.add_argument("--sr", type=int, default=22050)
+    ap.add_argument("--save_dir", default=None,
+                    help="also write <name>_copysyn.wav files here")
     args = ap.parse_args()
 
     from fastspeech2_tpu.synthesis.vocoder import get_vocoder
@@ -79,7 +93,8 @@ def _main():
                  "win_length": 1024},
         "mel": {"n_mel_channels": 80, "mel_fmin": 0, "mel_fmax": 8000}}}
     vocoder = get_vocoder(model_config, pre_config, ckpt_path=args.ckpt)
-    per_file, mean = evaluate_vocoder(vocoder, args.wavs, args.sr)
+    per_file, mean = evaluate_vocoder(vocoder, args.wavs, args.sr,
+                                      save_dir=args.save_dir)
     for row in per_file:
         print(json.dumps(row))
     print(json.dumps({"mean": mean, "n_files": len(per_file)}))

@@ -157,3 +157,20 @@ def test_evaluate_cli_objective(tmp_path, capsys):
     # the objective pass scored at least one utterance
     captured = capsys.readouterr().out
     assert '"objective_mean"' in captured and '"mcd_db"' in captured
+
+
+def test_demo_page_generator(tmp_path):
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.evaluation.demo_page import write_demo_page
+
+    a = tmp_path / "u1.wav"
+    b = tmp_path / "u1_syn.wav"
+    save_wav(str(a), _tone(220.0, seconds=0.2), 22050)
+    save_wav(str(b), _tone(220.0, seconds=0.2), 22050)
+    out = tmp_path / "demo"
+    page = write_demo_page([(str(a), str(b))], str(out),
+                           title="t <x>", subtitle="s")
+    html_src = open(page).read()
+    assert "t &lt;x&gt;" in html_src
+    assert (out / "u1_ref.wav").exists() and (out / "u1_syn.wav").exists()
+    assert html_src.count("<audio") == 2
