@@ -68,3 +68,23 @@ def load_model_for_inference(configs, restore_step=0, torch_ckpt=None,
             train_config["path"]["ckpt_path"], state, restore_step)
         variables = state.variables()
     return model, variables, cfg
+
+
+def load_metadata_rows(preprocess_config, source_path):
+    """Read a pipe-delimited metadata file (train.txt/val.txt schema) plus
+    the corpus speaker map: -> (names, speaker_ids, phone_strings).
+
+    Shared by synthesize --mode batch and evaluate --objective so the
+    metadata/speaker-map handling cannot drift between CLIs."""
+    import json
+    import os
+
+    from fastspeech2_tpu.data.dataset import FeatureDataset
+
+    names, speakers, texts, _ = FeatureDataset._read_metadata(source_path)
+    speakers_path = os.path.join(
+        preprocess_config["path"]["preprocessed_path"], "speakers.json")
+    speaker_map = (json.load(open(speakers_path))
+                   if os.path.exists(speakers_path) else {})
+    speaker_ids = [speaker_map.get(s, 0) for s in speakers]
+    return names, speakers, speaker_ids, texts

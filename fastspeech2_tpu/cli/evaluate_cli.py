@@ -106,7 +106,7 @@ def _objective_eval(args, configs, model, variables, cfg):
 
     import numpy as np
 
-    from fastspeech2_tpu.data.dataset import FeatureDataset
+    from fastspeech2_tpu.cli.common import load_metadata_rows
     from fastspeech2_tpu.evaluation.metrics import mcd
     from fastspeech2_tpu.synthesis import (
         Synthesizer,
@@ -126,16 +126,14 @@ def _objective_eval(args, configs, model, variables, cfg):
     vocoder = get_vocoder(model_config, preprocess_config, None)
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
                               vocoder=vocoder)
-    names, speakers, texts, _ = FeatureDataset._read_metadata(
-        os.path.join(pre_path, "val.txt"))
-    speakers_path = os.path.join(pre_path, "speakers.json")
-    speaker_map = (json.load(open(speakers_path))
-                   if os.path.exists(speakers_path) else {})
+    names, speakers, speaker_ids, texts = load_metadata_rows(
+        preprocess_config, os.path.join(pre_path, "val.txt"))
     sr = pp["audio"]["sampling_rate"]
     max_wav_value = pp["audio"]["max_wav_value"]
     cleaners = pp["text"]["text_cleaners"]
     rows = []
-    for name, spk, phones in zip(names, speakers, texts):
+    for name, spk, spk_id, phones in zip(names, speakers, speaker_ids,
+                                          texts):
         if len(rows) >= args.objective:
             break
         wav_path = os.path.join(wav_dir, f"{spk}-wav-{name}.npy")
@@ -144,7 +142,7 @@ def _objective_eval(args, configs, model, variables, cfg):
         gt = np.load(wav_path).astype(np.float32)
         ids = np.asarray(text_to_sequence(phones, cleaners), np.int32)
         out = synthesizer.infer_ids(
-            [ids], np.asarray([speaker_map.get(spk, 0)], np.int32))
+            [ids], np.asarray([spk_id], np.int32))
         syn = vocoder_infer(out.postnet_mel, vocoder, preprocess_config,
                             lengths=np.asarray(out.mel_len))[0]
         syn = syn.astype(np.float32) / max_wav_value

@@ -22,9 +22,6 @@ def main(argv=None):
                              '{"generator": ...} .pth.tar (~53 MB vs the '
                              "~900 MB GAN train state), loadable by both "
                              "this framework and the reference")
-    parser.add_argument("--vocoder_config", type=str, default=None,
-                        help="hifigan config.json the vocoder was trained "
-                             "with (for upsample_rates / kernel counts)")
     args = parser.parse_args(argv)
 
     if args.vocoder_ckpt:
@@ -32,6 +29,9 @@ def main(argv=None):
         return
     if args.restore_step is None:
         parser.error("--restore_step is required for acoustic export")
+    if not (args.preprocess_config and args.model_config
+            and args.train_config):
+        parser.error("acoustic export requires -p/-m/-t config files")
 
     configs = read_configs(args)
     _, variables, cfg = load_model_for_inference(configs, args.restore_step)
@@ -45,7 +45,6 @@ def main(argv=None):
 
 
 def _export_vocoder(args):
-    import json
     import os
 
     import orbax.checkpoint as ocp
@@ -54,19 +53,25 @@ def _export_vocoder(args):
         save_torch_vocoder_checkpoint,
     )
 
-    rates, n_kernels = (8, 8, 2, 2), 3
-    if args.vocoder_config:
-        with open(args.vocoder_config) as f:
-            cfg = json.load(f)
-        rates = tuple(cfg.get("upsample_rates", rates))
-        n_kernels = len(cfg.get("resblock_kernel_sizes", (3, 7, 11)))
     with ocp.PyTreeCheckpointer() as ckptr:
         tree = ckptr.restore(os.path.abspath(args.vocoder_ckpt))
+    params = tree["gen_params"]
+    # derive the topology from the checkpoint itself (an iSTFT-variant
+    # generator has fewer upsample stages and an (n_fft+2)-channel head)
+    n_ups = sum(1 for k in params if k.startswith("up_"))
+    n_blocks = sum(1 for k in params if k.startswith("resblock_"))
+    assert n_ups and n_blocks % n_ups == 0, (n_ups, n_blocks)
+    post_ch = params["conv_post"]["kernel"].shape[-1]
     save_torch_vocoder_checkpoint(
-        args.output, {"params": tree["gen_params"]}, rates, n_kernels)
+        args.output, {"params": params}, upsample_rates=(1,) * n_ups,
+        n_resblock_kernels=n_blocks // n_ups)
     size = os.path.getsize(args.output) / 1e6
+    note = ("" if n_ups == 4 and post_ch == 1 else
+            " (iSTFT-variant topology: loadable by this framework's "
+            "get_vocoder with the matching config; NOT by the reference, "
+            "whose Generator is the fixed 4-stage parity layout)")
     print(f"Exported generator from {args.vocoder_ckpt} to "
-          f"{args.output} ({size:.0f} MB)")
+          f"{args.output} ({size:.0f} MB){note}")
 
 
 if __name__ == "__main__":

@@ -85,17 +85,10 @@ def main(argv=None):
                              lengths=np.asarray(out.mel_len))
         synthesizer.save_results(ids, out, wavs, result_path)
     else:
-        from fastspeech2_tpu.data.dataset import FeatureDataset
+        from fastspeech2_tpu.cli.common import load_metadata_rows
 
-        names, speakers, texts, raws = FeatureDataset._read_metadata(
-            args.source)
-        import json
-        import os
-
-        speakers_path = os.path.join(
-            preprocess_config["path"]["preprocessed_path"], "speakers.json")
-        speaker_map = (json.load(open(speakers_path))
-                       if os.path.exists(speakers_path) else {})
+        names, _, speaker_ids, texts = load_metadata_rows(
+            preprocess_config, args.source)
         cleaners = preprocess_config["preprocessing"]["text"][
             "text_cleaners"]
         from fastspeech2_tpu.text import text_to_sequence
@@ -104,8 +97,7 @@ def main(argv=None):
             chunk = slice(start, start + 8)
             id_seqs = [np.asarray(text_to_sequence(t, cleaners), np.int32)
                        for t in texts[chunk]]
-            spk = np.asarray(
-                [speaker_map.get(s, 0) for s in speakers[chunk]], np.int32)
+            spk = np.asarray(speaker_ids[chunk], np.int32)
             out = synthesizer.infer_ids(
                 id_seqs, spk, args.pitch_control, args.energy_control,
                 args.duration_control)

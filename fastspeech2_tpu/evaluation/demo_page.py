@@ -40,10 +40,12 @@ def write_demo_page(pairs, out_dir, title="Audio demo", subtitle=""):
     """pairs: [(ref_wav_path, syn_wav_path)] -> path of index.html."""
     os.makedirs(out_dir, exist_ok=True)
     rows = []
-    for ref, syn in pairs:
+    for idx, (ref, syn) in enumerate(pairs):
         name = os.path.splitext(os.path.basename(ref))[0]
-        ref_dst = f"{name}_ref.wav"
-        syn_dst = f"{name}_syn.wav"
+        # index prefix: same-basename pairs from different dirs must not
+        # overwrite each other
+        ref_dst = f"{idx:02d}_{name}_ref.wav"
+        syn_dst = f"{idx:02d}_{name}_syn.wav"
         shutil.copyfile(ref, os.path.join(out_dir, ref_dst))
         shutil.copyfile(syn, os.path.join(out_dir, syn_dst))
         rows.append(_ROW.format(name=html.escape(name), ref=ref_dst,

@@ -5,8 +5,9 @@ audio, train.py:113-140, utils/tools.py:109-161); production deployment
 needs numbers.  These are the standard objective TTS metrics:
 
 - MCD (mel-cepstral distortion, dB): 10/ln10 * sqrt(2 * sum_d (c_d-c'_d)^2)
-  over DTW-aligned frames, cepstral c1..c12 from the SAME log-mel numerics
-  the models train on (audio/stft.py::MelSpectrogram -> DCT-II).
+  over DTW-aligned frames, cepstral c1..c12 from this framework's log-mel
+  front end (audio/stft.py::MelSpectrogram -> DCT-II) evaluated FULL-BAND
+  (fmax = sr/2; see mel_cepstra for why).
 - F0 RMSE (Hz) over frames both estimators call voiced, plus voicing
   precision/recall/F1, using the framework's DIO+StoneMask port
   (audio/dio.py — the preprocessing default).
@@ -28,7 +29,12 @@ def _dct_ortho(x, n_out):
 
 
 def mel_cepstra(wav, sr=22050, n_cep=13, hop_length=256):
-    """[T] float wav -> [frames, n_cep] mel cepstra (c0 included)."""
+    """[T] float wav -> [frames, n_cep] mel cepstra (c0 included).
+
+    Deliberately FULL-BAND (mel_fmax = sr/2), unlike the models' 8 kHz
+    training mels: vocoder artifacts concentrate above 8 kHz and a
+    quality metric should see them.  All calibration numbers in this
+    module were measured on this basis."""
     from fastspeech2_tpu.audio.stft import MelSpectrogram
 
     mel_fn = MelSpectrogram(sampling_rate=sr, hop_length=hop_length,
@@ -38,17 +44,35 @@ def mel_cepstra(wav, sr=22050, n_cep=13, hop_length=256):
     return _dct_ortho(logmel, n_cep)
 
 
-def _dtw_path(cost):
-    """Standard DTW on a [A, B] local-cost matrix -> aligned index pairs."""
+def _dtw_path(cost, band=None):
+    """DTW on a [A, B] local-cost matrix -> aligned index pairs.
+
+    band (Sakoe-Chiba, in frames off the stretched diagonal) bounds the
+    work to O(A*band) cells and prunes pathological warps; cells outside
+    the band stay +inf, so minutes-long wavs stay tractable.
+    """
     a, b = cost.shape
     acc = np.full((a + 1, b + 1), np.inf)
     acc[0, 0] = 0.0
     for i in range(1, a + 1):
         prev = acc[i - 1]
         cur = acc[i]
+        if band is None:
+            lo, hi = 1, b
+        else:
+            center = i * b / a
+            lo = max(1, int(center - band))
+            hi = min(b, int(center + band))
+            if lo > hi:
+                continue
         row = cost[i - 1]
-        for j in range(1, b + 1):
-            cur[j] = row[j - 1] + min(prev[j], prev[j - 1], cur[j - 1])
+        # min over the vertical/diagonal predecessors precomputes; the
+        # horizontal (within-row) dependency is a running minimum
+        base = np.minimum(prev[lo:hi + 1], prev[lo - 1:hi])
+        running = np.inf
+        for j in range(lo, hi + 1):
+            running = min(base[j - lo], running)
+            running = cur[j] = row[j - 1] + running
     path = []
     i, j = a, b
     while i > 0 and j > 0:
@@ -73,9 +97,14 @@ def mcd(ref_wav, syn_wav, sr=22050, n_cep=13, hop_length=256):
     values produced by THIS function against each other."""
     cr = mel_cepstra(ref_wav, sr, n_cep, hop_length)[:, 1:]
     cs = mel_cepstra(syn_wav, sr, n_cep, hop_length)[:, 1:]
-    diff = cr[:, None, :] - cs[None, :, :]
-    cost = np.sqrt(np.sum(diff * diff, axis=-1))
-    path = _dtw_path(cost)
+    # row-by-row cost avoids the [A, B, n_cep] broadcast tensor
+    # (a 60 s pair would otherwise allocate gigabytes)
+    cost = np.empty((len(cr), len(cs)), np.float32)
+    for i in range(len(cr)):
+        d = cs - cr[i]
+        cost[i] = np.sqrt(np.einsum("bc,bc->b", d, d))
+    band = max(64, int(0.1 * max(len(cr), len(cs))))
+    path = _dtw_path(cost, band=band)
     per_frame = np.asarray([cost[i, j] for i, j in path])
     return float(10.0 / np.log(10.0) * np.sqrt(2.0) * per_frame.mean())
 

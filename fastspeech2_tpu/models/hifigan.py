@@ -49,8 +49,7 @@ class _RawConv(nn.Module):
         return kernel, bias
 
 
-def resolve_resblock_backend(backend, channels, length, kernel_size,
-                             dilations, dtype):
+def resolve_resblock_backend(backend):
     """'auto' -> XLA, by measurement.  The fused Pallas resblock
     (ops/pallas_resblock.py) was built to attack the narrow-channel MXU
     underfill but measured ~2x SLOWER than XLA on v5e (e.g. C=64 k=11:
@@ -83,9 +82,7 @@ class ResBlock(nn.Module):
                               self.channels, name=f"conv2_{j}")()
             convs.append((w1, b1, w2, b2, d))
 
-        backend = resolve_resblock_backend(
-            self.backend, self.channels, x.shape[1], self.kernel_size,
-            self.dilations, x.dtype)
+        backend = resolve_resblock_backend(self.backend)
         if backend in ("pallas", "pallas_interpret"):
             from fastspeech2_tpu.ops.pallas_resblock import fused_resblock
 

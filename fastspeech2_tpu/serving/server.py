@@ -95,9 +95,13 @@ class BatchingSynthesizer:
                 "for it to dry completely before moving it anywhere "
                 "else in the building.",
             ]
+        # every power of two up to AND INCLUDING the bucket max_batch_size
+        # itself rounds to — a non-power-of-two max (e.g. 12) coalesces
+        # batches that _pack_batch pads to the NEXT bucket (16)
         sizes = []
         b = 1
-        while b <= self.max_batch_size:
+        top = 1 << (self.max_batch_size - 1).bit_length()
+        while b <= top:
             sizes.append(b)
             b *= 2
         t0 = time.monotonic()

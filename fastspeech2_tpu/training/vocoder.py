@@ -282,9 +282,9 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         gen = HiFiGANiSTFTGenerator(**gen_cfg,
                                     n_mel_channels=n_mel_channels)
     else:
-        # training always takes XLA resblocks: the fused Pallas resblock's
-        # backward is an XLA recompute, so kernel-fwd + recompute-bwd would
-        # be strictly slower than plain XLA fwd+bwd
+        # pin XLA resblocks for training even if 'auto' ever resolves to
+        # the Pallas kernel: its backward is an XLA recompute, so
+        # kernel-fwd + recompute-bwd would be strictly slower
         gen_cfg.setdefault("resblock_backend", "xla")
         gen = HiFiGANGenerator(**gen_cfg, n_mel_channels=n_mel_channels)
     disc = HiFiGANDiscriminators(**(discriminator_config or {}))

@@ -172,5 +172,5 @@ def test_demo_page_generator(tmp_path):
                            title="t <x>", subtitle="s")
     html_src = open(page).read()
     assert "t &lt;x&gt;" in html_src
-    assert (out / "u1_ref.wav").exists() and (out / "u1_syn.wav").exists()
+    assert (out / "00_u1_ref.wav").exists() and (out / "00_u1_syn.wav").exists()
     assert html_src.count("<audio") == 2
