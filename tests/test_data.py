@@ -92,3 +92,25 @@ def test_multi_host_sharding(corpus):
     assert ids0.isdisjoint(ids1)
     all_full = [tuple(b["ids"]) for b in full]
     assert all(i in all_full for i in ids0 | ids1)
+
+
+def test_prefetch_iterator_orders_transforms_and_propagates_errors():
+    from fastspeech2_tpu.data.prefetch import PrefetchIterator
+
+    # order + transform
+    out = list(PrefetchIterator(iter(range(6)), depth=2,
+                                transform=lambda x: x * 10))
+    assert out == [0, 10, 20, 30, 40, 50]
+
+    # a worker exception surfaces on the consumer side, after any items
+    # already prefetched
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = PrefetchIterator(gen(), depth=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
