@@ -285,17 +285,20 @@ class TTSServer:
                     f"audio/L16;rate={server.sampling_rate};channels=1")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                try:
-                    for wav in gen:
-                        data = wav.tobytes()
-                        if not data:
-                            continue
-                        self.wfile.write(f"{len(data):x}\r\n".encode())
-                        self.wfile.write(data)
-                        self.wfile.write(b"\r\n")
-                        self.wfile.flush()
-                finally:
-                    self.wfile.write(b"0\r\n\r\n")
+                for wav in gen:
+                    data = wav.tobytes()
+                    if not data:
+                        continue
+                    self.wfile.write(f"{len(data):x}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
+                # Terminal chunk only on successful exhaustion: if the
+                # generator raises mid-stream we close the connection
+                # without it, so chunked-aware clients see truncation
+                # instead of a cleanly completed (but short) response.
+                self.wfile.write(b"0\r\n\r\n")
+                self.close_connection = True
 
             def do_POST(self):
                 if self.path not in ("/synthesize", "/synthesize_stream"):
@@ -310,7 +313,9 @@ class TTSServer:
                     try:
                         self._stream(payload, text)
                     except Exception:
-                        pass   # mid-stream failure: connection closes
+                        # mid-stream failure: drop the connection with no
+                        # terminal chunk (see _stream)
+                        self.close_connection = True
                     return
                 # long texts take the sentence-splitting path; default
                 # auto-routes anything the reference would truncate

@@ -184,9 +184,13 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
         config = load_hifigan_config(
             os.path.join(_HIFIGAN_DIR, istft_configs[name])
             if name in istft_configs else None)
-        if ckpt_path is None:
+        if ckpt_path is None and name not in istft_configs:
             # look for generator_<speaker>.pth.tar next to the bundled
-            # config, mirroring utils/model.py:58-65's speaker selection
+            # config, mirroring utils/model.py:58-65's speaker selection.
+            # Only for the parity topology: those bundled weights are
+            # 4-upsample-stage HiFi-GAN V1; converting them with a
+            # 2-stage iSTFT-head config would fail (or silently
+            # mismatch), so iSTFT variants never auto-load them.
             speaker = model_config["vocoder"].get("speaker", "LJSpeech")
             candidate = os.path.join(
                 _HIFIGAN_DIR, f"generator_{speaker}.pth.tar")
