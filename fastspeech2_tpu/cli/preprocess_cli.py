@@ -16,9 +16,20 @@ def preprocess_main(argv=None):
                              "installed) to produce the TextGrid/ inputs")
     parser.add_argument("--mfa_acoustic_model", default="english_us_arpa")
     parser.add_argument("--mfa_dictionary", default=None)
+    parser.add_argument("--align", action="store_true",
+                        help="run the in-framework forced aligner first "
+                             "(align.py; no external tools) to produce "
+                             "the TextGrid/ inputs")
+    parser.add_argument("--phones_file", default=None,
+                        help="with --align: metadata file supplying "
+                             "known phone sequences")
     args = parser.parse_args(argv)
     with open(args.config) as f:
         config = yaml.safe_load(f)
+    if args.align:
+        from fastspeech2_tpu.cli.align_cli import align_corpus
+
+        align_corpus(config, phones_file=args.phones_file)
     if args.mfa:
         from fastspeech2_tpu.preprocessing.mfa import run_mfa_align
 
