@@ -37,9 +37,15 @@ def build_server(args):
                               vocoder=vocoder)
     batcher = BatchingSynthesizer(
         synthesizer, max_batch_size=args.max_batch_size,
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
     sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
-    return TTSServer(batcher, sr, host=args.host, port=args.port)
+    import os as _os
+
+    token = args.auth_token or _os.environ.get("TTS_AUTH_TOKEN") or None
+    return TTSServer(batcher, sr, host=args.host, port=args.port,
+                     auth_token=token,
+                     max_body_bytes=args.max_body_bytes,
+                     max_text_len=args.max_text_len)
 
 
 def main(argv=None):
@@ -54,6 +60,14 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch_size", type=int, default=16)
     parser.add_argument("--max_wait_ms", type=float, default=20.0)
+    parser.add_argument("--max_pending", type=int, default=256,
+                        help="in-flight request cap; excess is shed "
+                             "with HTTP 429")
+    parser.add_argument("--auth_token", default=None,
+                        help="require 'Authorization: Bearer <token>' "
+                             "on POSTs (default: $TTS_AUTH_TOKEN if set)")
+    parser.add_argument("--max_body_bytes", type=int, default=65536)
+    parser.add_argument("--max_text_len", type=int, default=4096)
     parser.add_argument("--no_warmup", action="store_true",
                         help="skip pre-compiling the batch/text bucket "
                              "executables at startup (first requests then "

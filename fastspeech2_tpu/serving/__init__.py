@@ -1,3 +1,9 @@
-from fastspeech2_tpu.serving.server import BatchingSynthesizer, TTSServer
+from fastspeech2_tpu.serving.server import (
+    BatchingSynthesizer,
+    PayloadTooLarge,
+    ServerOverloaded,
+    TTSServer,
+)
 
-__all__ = ["BatchingSynthesizer", "TTSServer"]
+__all__ = ["BatchingSynthesizer", "PayloadTooLarge", "ServerOverloaded",
+           "TTSServer"]

@@ -24,7 +24,13 @@ fused dispatch per group.
                      Sentences from concurrent streams coalesce into the
                      same fused dispatches as /synthesize requests.
   GET  /healthz      -> {"status": "ok"}
-  GET  /stats        -> {"requests": N, "batches": M, "mean_batch": ...}
+  GET  /stats        -> {"requests": N, "batches": M, "mean_batch": ...,
+                         "pending": in-flight, "shed": rejected-429s}
+
+Hardening: optional bearer-token auth (401), request-body and text-length
+limits (413/400), and overload shedding — admissions beyond
+`max_pending` in-flight utterances are rejected with 429 + Retry-After
+instead of growing the queue without bound.
 
 No external dependencies; everything is stdlib + the existing pipeline.
 """
@@ -35,6 +41,14 @@ import struct
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised when the pending-request cap is hit (shed with HTTP 429)."""
+
+
+class PayloadTooLarge(ValueError):
+    """Raised when a request body exceeds max_body_bytes (HTTP 413)."""
 
 
 def wav_bytes(wav_int16, sampling_rate):
@@ -67,14 +81,21 @@ class BatchingSynthesizer:
     co-arriving requests join it.
     """
 
-    def __init__(self, synthesizer, max_batch_size=16, max_wait_ms=20.0):
+    def __init__(self, synthesizer, max_batch_size=16, max_wait_ms=20.0,
+                 max_pending=256):
         self.synthesizer = synthesizer
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
+        # overload shedding: admissions beyond this many in-flight
+        # utterances raise ServerOverloaded instead of growing the queue
+        # (and its tail latency) without bound
+        self.max_pending = max_pending
+        self._pending = 0
         self._queue = queue.Queue()
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
+        self.n_shed = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -119,23 +140,37 @@ class BatchingSynthesizer:
 
         long=True routes through the sentence-splitting long-form path
         (no batching across requests; each chunk is its own dispatch)."""
-        if long:
-            wav, _ = self.synthesizer.synthesize_long(
-                text, speaker=int(speaker), p_control=float(p_control),
-                e_control=float(e_control), d_control=float(d_control))
+        self._admit()
+        try:
+            if long:
+                wav, _ = self.synthesizer.synthesize_long(
+                    text, speaker=int(speaker), p_control=float(p_control),
+                    e_control=float(e_control), d_control=float(d_control))
+                with self._stats_lock:
+                    self.n_requests += 1
+                    self.n_batches += 1
+                return wav
+            req = _Request(text, int(speaker),
+                           (float(p_control), float(e_control),
+                            float(d_control)))
+            self._queue.put(req)
+            if not req.event.wait(timeout):
+                raise TimeoutError("synthesis timed out")
+            if req.error is not None:
+                raise req.error
+            return req.result
+        finally:
             with self._stats_lock:
-                self.n_requests += 1
-                self.n_batches += 1
-            return wav
-        req = _Request(text, int(speaker),
-                       (float(p_control), float(e_control),
-                        float(d_control)))
-        self._queue.put(req)
-        if not req.event.wait(timeout):
-            raise TimeoutError("synthesis timed out")
-        if req.error is not None:
-            raise req.error
-        return req.result
+                self._pending -= 1
+
+    def _admit(self):
+        with self._stats_lock:
+            if self._pending >= self.max_pending:
+                self.n_shed += 1
+                raise ServerOverloaded(
+                    f"{self._pending} requests already pending "
+                    f"(max_pending={self.max_pending})")
+            self._pending += 1
 
     def synthesize_stream(self, text, speaker=0, p_control=1.0,
                           e_control=1.0, d_control=1.0, timeout=120.0,
@@ -226,10 +261,13 @@ class BatchingSynthesizer:
     def stats(self):
         with self._stats_lock:
             n_req, n_bat = self.n_requests, self.n_batches
+            pending, shed = self._pending, self.n_shed
         return {
             "requests": n_req,
             "batches": n_bat,
             "mean_batch": (n_req / n_bat) if n_bat else 0.0,
+            "pending": pending,
+            "shed": shed,
         }
 
 
@@ -237,22 +275,32 @@ class TTSServer:
     """HTTP front end over a BatchingSynthesizer."""
 
     def __init__(self, batching_synthesizer, sampling_rate, host="127.0.0.1",
-                 port=0):
+                 port=0, auth_token=None, max_body_bytes=65536,
+                 max_text_len=4096):
         self.batcher = batching_synthesizer
         self.sampling_rate = sampling_rate
+        self.auth_token = auth_token
+        self.max_body_bytes = max_body_bytes
+        self.max_text_len = max_text_len
         server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):   # quiet
                 pass
 
-            def _json(self, code, obj):
+            def _json(self, code, obj, headers=()):
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in headers:
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _shed(self, exc):
+                self._json(429, {"error": str(exc)},
+                           headers=[("Retry-After", "1")])
 
             def do_GET(self):
                 if self.path == "/healthz":
@@ -262,12 +310,26 @@ class TTSServer:
                 else:
                     self._json(404, {"error": "not found"})
 
+            def _authorized(self):
+                if server.auth_token is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                return got == f"Bearer {server.auth_token}"
+
             def _read_payload(self):
                 length = int(self.headers.get("Content-Length", 0))
+                if length > server.max_body_bytes:
+                    raise PayloadTooLarge(
+                        f"request body {length} bytes exceeds "
+                        f"{server.max_body_bytes}")
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 text = payload["text"]
                 if not isinstance(text, str) or not text.strip():
                     raise ValueError("'text' must be a non-empty string")
+                if len(text) > server.max_text_len:
+                    raise ValueError(
+                        f"'text' length {len(text)} exceeds "
+                        f"max_text_len={server.max_text_len}")
                 return payload, text
 
             def _stream(self, payload, text):
@@ -279,20 +341,36 @@ class TTSServer:
                     e_control=payload.get("energy_control", 1.0),
                     d_control=payload.get("duration_control", 1.0),
                 )
+                # synthesize the first sentence BEFORE committing to a 200:
+                # overload/synthesis errors at the head of the stream can
+                # still be reported with a proper status code
+                try:
+                    first = next(gen)
+                except StopIteration:
+                    first = None
                 self.send_response(200)
                 self.send_header(
                     "Content-Type",
                     f"audio/L16;rate={server.sampling_rate};channels=1")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                for wav in gen:
-                    data = wav.tobytes()
-                    if not data:
-                        continue
-                    self.wfile.write(f"{len(data):x}\r\n".encode())
-                    self.wfile.write(data)
-                    self.wfile.write(b"\r\n")
-                    self.wfile.flush()
+                import itertools
+
+                head = () if first is None else (first,)
+                try:
+                    for wav in itertools.chain(head, gen):
+                        data = wav.tobytes()
+                        if not data:
+                            continue
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+                except ServerOverloaded as exc:
+                    # headers already sent: can't 429 any more — make it
+                    # a generic mid-stream failure (connection drop)
+                    raise RuntimeError(
+                        f"overloaded mid-stream: {exc}") from exc
                 # Terminal chunk only on successful exhaustion: if the
                 # generator raises mid-stream we close the connection
                 # without it, so chunked-aware clients see truncation
@@ -304,14 +382,25 @@ class TTSServer:
                 if self.path not in ("/synthesize", "/synthesize_stream"):
                     self._json(404, {"error": "not found"})
                     return
+                if not self._authorized():
+                    self._json(401, {"error": "missing or invalid "
+                                              "bearer token"})
+                    return
                 try:
                     payload, text = self._read_payload()
+                except PayloadTooLarge as exc:
+                    self._json(413, {"error": str(exc)})
+                    return
                 except (ValueError, KeyError, json.JSONDecodeError) as exc:
                     self._json(400, {"error": str(exc)})
                     return
                 if self.path == "/synthesize_stream":
                     try:
                         self._stream(payload, text)
+                    except ServerOverloaded as exc:
+                        # raised before any bytes were sent (_stream
+                        # synthesizes the first sentence pre-headers)
+                        self._shed(exc)
                     except Exception:
                         # mid-stream failure: drop the connection with no
                         # terminal chunk (see _stream)
@@ -332,6 +421,9 @@ class TTSServer:
                         d_control=payload.get("duration_control", 1.0),
                         long=bool(long),
                     )
+                except ServerOverloaded as exc:
+                    self._shed(exc)
+                    return
                 except Exception as exc:
                     self._json(500, {"error": str(exc)})
                     return

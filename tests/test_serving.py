@@ -206,7 +206,8 @@ def test_http_long_text(server):
 def test_http_stats(server):
     with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
         stats = json.loads(r.read())
-    assert set(stats) == {"requests", "batches", "mean_batch"}
+    assert set(stats) == {"requests", "batches", "mean_batch",
+                          "pending", "shed"}
 
 
 def test_http_synthesize_stream_chunks(server):
@@ -257,3 +258,162 @@ def test_warmup_compiles_bucket_set(synthesizer):
     wav = batcher.synthesize("hello there")
     assert wav.dtype.name == "int16" and len(wav) > 0
     batcher.stop()
+
+
+# -- hardening: auth, size limits, overload shedding ----------------------
+
+class _BlockingSynthesizer:
+    """Fake synthesizer whose dispatches block on an event — makes
+    overload deterministic without timing races."""
+
+    def __init__(self):
+        self.release = threading.Event()
+        self.preprocess_config = {
+            "preprocessing": {"audio": {"sampling_rate": 22050}}}
+
+    def synthesize(self, texts, speakers=None, p_control=1.0,
+                   e_control=1.0, d_control=1.0):
+        self.release.wait(30)
+        return [np.ones(100, np.int16) for _ in texts], None
+
+    def synthesize_long(self, text, **kw):
+        self.release.wait(30)
+        return np.ones(100, np.int16), None
+
+
+def test_overload_shedding_batcher():
+    from fastspeech2_tpu.serving import ServerOverloaded
+
+    fake = _BlockingSynthesizer()
+    batcher = BatchingSynthesizer(fake, max_batch_size=2, max_wait_ms=1.0,
+                                  max_pending=2)
+    try:
+        results, errors = [], []
+
+        def call():
+            try:
+                results.append(batcher.synthesize("x", timeout=30))
+            except ServerOverloaded as exc:
+                errors.append(exc)
+
+        # fill the cap with two blocked requests
+        t1 = threading.Thread(target=call)
+        t2 = threading.Thread(target=call)
+        t1.start(); t2.start()
+        deadline = 50
+        while batcher.stats()["pending"] < 2 and deadline:
+            import time as _t
+            _t.sleep(0.05); deadline -= 1
+        assert batcher.stats()["pending"] == 2
+        # third admission must shed synchronously
+        with pytest.raises(ServerOverloaded):
+            batcher.synthesize("y", timeout=30)
+        assert batcher.stats()["shed"] == 1
+        fake.release.set()
+        t1.join(timeout=30); t2.join(timeout=30)
+        assert len(results) == 2 and not errors
+        assert batcher.stats()["pending"] == 0
+    finally:
+        fake.release.set()
+        batcher.stop()
+
+
+@pytest.fixture()
+def hardened_server(synthesizer):
+    batcher = BatchingSynthesizer(synthesizer, max_batch_size=8,
+                                  max_wait_ms=10.0)
+    srv = TTSServer(batcher, 22050, port=0, auth_token="sekrit",
+                    max_body_bytes=512, max_text_len=40).start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, payload, token=None, path="/synthesize"):
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(
+        _url(server, path), data=json.dumps(payload).encode(),
+        headers=headers)
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_http_auth(hardened_server):
+    # no token -> 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(hardened_server, {"text": "hello"})
+    assert e.value.code == 401
+    # wrong token -> 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(hardened_server, {"text": "hello"}, token="wrong")
+    assert e.value.code == 401
+    # right token -> audio
+    with _post(hardened_server, {"text": "hello"}, token="sekrit") as r:
+        assert r.read()[:4] == b"RIFF"
+    # healthz stays open (load balancers probe unauthenticated)
+    with urllib.request.urlopen(
+            _url(hardened_server, "/healthz"), timeout=30) as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+
+
+def test_http_payload_too_large(hardened_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(hardened_server, {"text": "x" * 600}, token="sekrit")
+    assert e.value.code == 413
+
+
+def test_http_text_too_long(hardened_server):
+    # fits in max_body_bytes but exceeds max_text_len -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(hardened_server, {"text": "y" * 60}, token="sekrit")
+    assert e.value.code == 400
+
+
+def test_http_overload_returns_429():
+    fake = _BlockingSynthesizer()
+    batcher = BatchingSynthesizer(fake, max_batch_size=2, max_wait_ms=1.0,
+                                  max_pending=1)
+    srv = TTSServer(batcher, 22050, port=0).start()
+    try:
+        held = threading.Thread(
+            target=lambda: batcher.synthesize("x", timeout=30))
+        held.start()
+        deadline = 50
+        while batcher.stats()["pending"] < 1 and deadline:
+            import time as _t
+            _t.sleep(0.05); deadline -= 1
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, {"text": "hello"})
+        assert e.value.code == 429
+        assert e.value.headers["Retry-After"] == "1"
+        # streaming pre-headers overload is also a clean 429
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, {"text": "hello."}, path="/synthesize_stream")
+        assert e.value.code == 429
+        fake.release.set()
+        held.join(timeout=30)
+    finally:
+        fake.release.set()
+        srv.stop()
+
+
+def test_http_concurrency_32(server):
+    """32 simultaneous clients all get valid audio (VERDICT r1 item 6)."""
+    results, errors = {}, []
+
+    def call(i):
+        try:
+            with _post(server, {"text": f"client {i} says hello"}) as r:
+                results[i] = r.read()
+        except Exception as exc:    # pragma: no cover
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert len(results) == 32
+    assert all(body[:4] == b"RIFF" and len(body) > 44
+               for body in results.values())
