@@ -269,7 +269,7 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         import ml_dtypes
         _mel_wire_dtype = ml_dtypes.bfloat16
 
-    def to_device(batch):
+    def host_model_batch(batch):
         model_batch = _model_batch(batch)
         if mel_bf16:
             model_batch = dict(model_batch)
@@ -280,9 +280,12 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 k: v.reshape((acc, v.shape[0] // acc) + v.shape[1:])
                 for k, v in model_batch.items()
             }
+        return model_batch
+
+    def to_device(batch):
         device = {
             k: jax.device_put(v, micro_sharding)
-            for k, v in model_batch.items()
+            for k, v in host_model_batch(batch).items()
         }
         return batch, device
 
@@ -305,6 +308,90 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
         for sig in (signal.SIGTERM, signal.SIGUSR1):
             installed.append((sig, signal.signal(sig, _on_preempt)))
 
+    def run_duties(step, losses, batch, state, frames):
+        """Per-boundary duties (log/synth/val/save), shared by the
+        per-step and the scanned paths."""
+        nonlocal frames_done, t_rate
+        frames_done += frames
+        if step % steps.log_step == 0:
+            vals = [float(v) for v in losses]
+            now = time.time()
+            rate = frames_done / max(now - t_rate, 1e-6)
+            frames_done, t_rate = 0, now
+            msg1 = f"Step {step}/{total_step}"
+            msg2 = ("Total Loss: {:.4f}, Mel Loss: {:.4f}, Mel PostNet "
+                    "Loss: {:.4f}, Pitch Loss: {:.4f}, Energy Loss: "
+                    "{:.4f}, Duration Loss: {:.4f}").format(*vals)
+            log(msg1 + ", " + msg2
+                + f" ({now - t0:.1f}s, {rate:.0f} mel frames/s)")
+            logger.message(msg1 + ", " + msg2)
+            logger.scalars(step, vals)
+
+        if step % steps.synth_step == 0:
+            try:
+                fig, wav_rec, wav_pred = synth_one_sample(
+                    model, cfg, state, batch, preprocess_config,
+                    vocoder, infer_fn=infer_fn)
+                logger.figure(
+                    f"Training/step_{step}_{batch['ids'][0]}", fig)
+                sr = preprocess_config["preprocessing"]["audio"][
+                    "sampling_rate"]
+                if wav_rec is not None:
+                    logger.audio(
+                        f"Training/step_{step}_"
+                        f"{batch['ids'][0]}_reconstructed",
+                        wav_rec.astype(np.float32), sr)
+                    logger.audio(
+                        f"Training/step_{step}_"
+                        f"{batch['ids'][0]}_synthesized",
+                        wav_pred.astype(np.float32), sr)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+            except Exception as e:  # non-fatal duty
+                log(f"synth_step failed: {e}")
+
+        if step % steps.val_step == 0:
+            val_losses = evaluate(
+                eval_step, state, val_dataset, preprocess_config,
+                optim_cfg.batch_size, cfg)
+            msg = ("Validation Step {}, Total Loss: {:.4f}, Mel Loss: "
+                   "{:.4f}, Mel PostNet Loss: {:.4f}, Pitch Loss: "
+                   "{:.4f}, Energy Loss: {:.4f}, Duration Loss: {:.4f}"
+                   ).format(step, *val_losses)
+            log(msg)
+            val_logger.message(msg)
+            val_logger.scalars(step, val_losses)
+            # one val sample to TB (reference evaluate.py:57-84)
+            try:
+                val_loader = BucketedLoader(
+                    val_dataset, batch_size=1, group_size=1,
+                    shuffle=False, drop_last=False,
+                    max_mel_len=cfg.max_seq_len)
+                val_batch = next(iter(val_loader.epoch(0)))
+                fig, wav_rec, wav_pred = synth_one_sample(
+                    model, cfg, state, val_batch, preprocess_config,
+                    vocoder, infer_fn=infer_fn)
+                val_logger.figure(
+                    f"Validation/step_{step}_{val_batch['ids'][0]}",
+                    fig)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+            except Exception as e:  # non-fatal duty
+                log(f"val synth failed: {e}")
+
+        if step % steps.save_step == 0:
+            save_checkpoint(ckpt_dir, state, step)
+            log(f"Saved checkpoint at step {step}")
+
+    scan_step = int(train_config["step"].get("scan_step", 1))
+    if scan_step > 1:
+        state, step = _train_scanned(
+            scan_step, state, step, total_step, steps, loader,
+            host_model_batch, acc, model, cfg, optimizer, optim_cfg, mesh,
+            state_shardings, replicated, rng, run_duties, preempted, log)
+
     while step < total_step and not preempted.is_set():
         for batch, device_batch in PrefetchIterator(
                 loader.epoch(epoch), depth=2, transform=to_device):
@@ -322,78 +409,8 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
 
-            frames_done += int(batch["mel_lens"].sum())
-            if step % steps.log_step == 0:
-                vals = [float(v) for v in losses]
-                now = time.time()
-                rate = frames_done / max(now - t_rate, 1e-6)
-                frames_done, t_rate = 0, now
-                msg1 = f"Step {step}/{total_step}"
-                msg2 = ("Total Loss: {:.4f}, Mel Loss: {:.4f}, Mel PostNet "
-                        "Loss: {:.4f}, Pitch Loss: {:.4f}, Energy Loss: "
-                        "{:.4f}, Duration Loss: {:.4f}").format(*vals)
-                log(msg1 + ", " + msg2
-                    + f" ({now - t0:.1f}s, {rate:.0f} mel frames/s)")
-                logger.message(msg1 + ", " + msg2)
-                logger.scalars(step, vals)
-
-            if step % steps.synth_step == 0:
-                try:
-                    fig, wav_rec, wav_pred = synth_one_sample(
-                        model, cfg, state, batch, preprocess_config,
-                        vocoder, infer_fn=infer_fn)
-                    logger.figure(
-                        f"Training/step_{step}_{batch['ids'][0]}", fig)
-                    sr = preprocess_config["preprocessing"]["audio"][
-                        "sampling_rate"]
-                    if wav_rec is not None:
-                        logger.audio(
-                            f"Training/step_{step}_"
-                            f"{batch['ids'][0]}_reconstructed",
-                            wav_rec.astype(np.float32), sr)
-                        logger.audio(
-                            f"Training/step_{step}_"
-                            f"{batch['ids'][0]}_synthesized",
-                            wav_pred.astype(np.float32), sr)
-                    import matplotlib.pyplot as plt
-
-                    plt.close(fig)
-                except Exception as e:  # non-fatal duty
-                    log(f"synth_step failed: {e}")
-
-            if step % steps.val_step == 0:
-                val_losses = evaluate(
-                    eval_step, state, val_dataset, preprocess_config,
-                    optim_cfg.batch_size, cfg)
-                msg = ("Validation Step {}, Total Loss: {:.4f}, Mel Loss: "
-                       "{:.4f}, Mel PostNet Loss: {:.4f}, Pitch Loss: "
-                       "{:.4f}, Energy Loss: {:.4f}, Duration Loss: {:.4f}"
-                       ).format(step, *val_losses)
-                log(msg)
-                val_logger.message(msg)
-                val_logger.scalars(step, val_losses)
-                # one val sample to TB (reference evaluate.py:57-84)
-                try:
-                    val_loader = BucketedLoader(
-                        val_dataset, batch_size=1, group_size=1,
-                        shuffle=False, drop_last=False,
-                        max_mel_len=cfg.max_seq_len)
-                    val_batch = next(iter(val_loader.epoch(0)))
-                    fig, wav_rec, wav_pred = synth_one_sample(
-                        model, cfg, state, val_batch, preprocess_config,
-                        vocoder, infer_fn=infer_fn)
-                    val_logger.figure(
-                        f"Validation/step_{step}_{val_batch['ids'][0]}",
-                        fig)
-                    import matplotlib.pyplot as plt
-
-                    plt.close(fig)
-                except Exception as e:  # non-fatal duty
-                    log(f"val synth failed: {e}")
-
-            if step % steps.save_step == 0:
-                save_checkpoint(ckpt_dir, state, step)
-                log(f"Saved checkpoint at step {step}")
+            run_duties(step, losses, batch, state,
+                       int(batch["mel_lens"].sum()))
         epoch += 1
 
     for sig, prev in installed:
@@ -402,6 +419,99 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
     logger.close()
     val_logger.close()
     return state
+
+
+def _train_scanned(scan_step, state, step, total_step, steps, loader,
+                   host_model_batch, acc, model, cfg, optimizer, optim_cfg,
+                   mesh, state_shardings, replicated, rng, run_duties,
+                   preempted, log):
+    """Device-resident scanned training (train.yaml `step: scan_step: K`).
+
+    Per-step dispatch through a relay-attached TPU costs far more than the
+    step's compute (~0.69 s/step observed vs ~13 ms device time): every
+    step re-uploads its batch and pays a host round-trip.  When the
+    preprocessed epoch fits in HBM — true for every bundled corpus — we
+    stack each bucket-shape group's batches on device ONCE and run K
+    optimizer steps per dispatch with lax.scan, indexing the stack by a
+    host-chosen [K] schedule (reshuffled every pass).  Numerics per step
+    are the per-step path's (same inner train_step, same rng fold).
+
+    Trade-off vs the streaming loader: batch composition is frozen at
+    epoch 0 (the reference's sort-by-length group collate barely reshuffles
+    composition either, dataset.py group_size=4); order still reshuffles
+    every pass through a group.
+    """
+    import math
+
+    from fastspeech2_tpu.training.step import make_scanned_train_step
+
+    # dispatch boundaries must land exactly on every active duty period
+    K = scan_step
+    for p in (steps.log_step, steps.synth_step, steps.val_step,
+              steps.save_step):
+        if p < total_step:
+            K = math.gcd(K, p)
+    if K <= 1:
+        log("scan_step incompatible with duty periods; using per-step path")
+        return state, step
+
+    groups = {}
+    for b in loader.epoch(0):
+        mb = host_model_batch(b)
+        sig = tuple(sorted(
+            (k, tuple(v.shape), str(v.dtype)) for k, v in mb.items()))
+        groups.setdefault(sig, {"model": [], "raw": []})
+        groups[sig]["model"].append(mb)
+        groups[sig]["raw"].append(b)
+
+    spec = P(*((None, None, "data") if acc > 1 else (None, "data")))
+    sharding = NamedSharding(mesh, spec)
+    glist = []
+    for g in groups.values():
+        stacked = jax.device_put(
+            {k: np.stack([mb[k] for mb in g["model"]])
+             for k in g["model"][0]}, sharding)
+        frames = np.array([int(b["mel_lens"].sum()) for b in g["raw"]])
+        glist.append({"stacked": stacked, "n": len(g["model"]),
+                      "raw0": g["raw"][0], "frames": frames})
+    n_total = sum(g["n"] for g in glist)
+    log(f"scan mode: {n_total} batches in {len(glist)} shape group(s) "
+        f"device-resident, {K} steps/dispatch")
+
+    scanned = cached_jit(
+        ("scanned_train_step", model, optim_cfg, K, acc, mesh),
+        lambda: jax.jit(
+            make_scanned_train_step(model, cfg, optimizer, K,
+                                    grad_acc_step=acc),
+            donate_argnums=0,
+            out_shardings=(state_shardings, replicated)))
+
+    shuffle_rng = np.random.RandomState(1234 + step)
+
+    def stream(g):
+        while True:
+            for i in shuffle_rng.permutation(g["n"]):
+                yield int(i)
+
+    streams = [stream(g) for g in glist]
+    weights = np.array([g["n"] / n_total for g in glist])
+    credit = np.zeros(len(glist))
+
+    while step < total_step and not preempted.is_set():
+        k = min(K, total_step - step)
+        credit += weights
+        gi = int(np.argmax(credit))
+        credit[gi] -= 1.0
+        g = glist[gi]
+        idx = np.fromiter((next(streams[gi]) for _ in range(k)),
+                          np.int32, count=k)
+        state, losses_seq = scanned(state, g["stacked"],
+                                    jnp.asarray(idx), rng)
+        step += k
+        losses = jax.tree_util.tree_map(lambda a: a[-1], losses_seq)
+        run_duties(step, losses, g["raw0"], state,
+                   int(g["frames"][idx].sum()))
+    return state, step
 
 
 def evaluate(eval_step, state, val_dataset, preprocess_config, batch_size,

@@ -119,6 +119,40 @@ def make_train_step(model, cfg, optimizer, grad_acc_step=1):
     return train_step
 
 
+def make_scanned_train_step(model, cfg, optimizer, scan_step,
+                            grad_acc_step=1):
+    """K train steps in ONE compiled dispatch over a device-resident
+    batch stack.
+
+    The per-step path pays a host->device batch upload plus a dispatch
+    round-trip every step; through a relay-attached TPU that overhead
+    dwarfs the ~13 ms of compute (measured 0.69 s/step on the LJSpeech10
+    overfit run).  Here the whole epoch's batches for one bucket shape
+    live on device as a stacked pytree [n_batches, ...] and a lax.scan
+    runs `scan_step` optimizer steps per dispatch, indexing the stack
+    with a [K] int32 schedule — zero per-step transfers, one dispatch
+    per K steps.  Numerics are identical to the per-step path (the inner
+    body IS make_train_step's; rng folds on state.step in-graph).
+    """
+    inner = make_train_step(model, cfg, optimizer,
+                            grad_acc_step=grad_acc_step)
+
+    def scanned(state, stacked, indices, rng):
+        def body(state, i):
+            batch = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, i, axis=0, keepdims=False), stacked)
+            # inner folds rng on state.step, so every scanned step gets
+            # the same dropout stream the per-step path would
+            state, losses = inner(state, batch, rng)
+            return state, losses
+
+        state, losses_seq = jax.lax.scan(body, state, indices)
+        return state, losses_seq
+
+    return scanned
+
+
 def make_eval_step(model, cfg):
     """Teacher-forced eval losses (reference evaluate.py:37-51 semantics:
     dropout off, BatchNorm running stats)."""

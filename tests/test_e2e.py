@@ -238,3 +238,32 @@ def test_synthesize_cli_with_torch_ckpt(workspace, tmp_path):
     result = os.path.join(root, "result")
     assert os.path.exists(os.path.join(result,
                                        "torch checkpoint roundtrip.wav"))
+
+
+def test_training_loop_scan_mode(workspace, tmp_path):
+    """train.yaml `step: scan_step` runs the device-resident scanned path
+    end-to-end: duty boundaries respected, checkpoint written, log rates
+    reported."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.training.loop import train
+
+    root, paths, (pre, model_cfg, train_cfg) = workspace
+    cfg = copy.deepcopy(train_cfg)
+    cfg["path"] = {
+        "ckpt_path": str(tmp_path / "ckpt"),
+        "log_path": str(tmp_path / "log"),
+        "result_path": str(tmp_path / "result"),
+    }
+    cfg["step"]["scan_step"] = 4  # gcd(4, log 4, val 6, save 12) = 2
+    msgs = []
+    state = train(pre, model_cfg, cfg, dtype=jnp.float32, log=msgs.append)
+    assert int(state.step) == 12
+    assert os.path.isdir(str(tmp_path / "ckpt" / "12"))
+    assert any("scan mode:" in m for m in msgs), msgs
+    content = open(str(tmp_path / "log" / "train" / "log.txt")).read()
+    assert "Step 12/12" in content
+    # val duty fired at its boundary inside the scanned loop
+    assert any("Validation Step 6" in m for m in msgs), msgs

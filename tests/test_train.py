@@ -243,3 +243,54 @@ def test_eval_step_excludes_padded_duplicate_rows():
     # and the bias was real: unmasked padded batch differs from the oracle
     assert any(
         abs(float(b) - float(t)) > 1e-7 for b, t in zip(biased, truth))
+
+
+def test_scanned_step_matches_per_step():
+    # the device-resident scan path (training/step.py
+    # make_scanned_train_step) must reproduce the per-step path exactly:
+    # same inner body, rng folded on state.step in-graph
+    from fastspeech2_tpu.training.step import make_scanned_train_step
+
+    cfg = tiny_config()
+    b0 = synthetic_batch(cfg, B=2, seed=0)
+    b1 = synthetic_batch(cfg, B=2, seed=1)
+    model, variables = _init(cfg, b0)
+    optim, _ = make_optimizer(OptimConfig(warm_up_step=20, anneal_steps=()),
+                              cfg.encoder_hidden)
+    rng = jax.random.PRNGKey(7)
+
+    ref_state = TrainState.create(variables, optim)
+    step_fn = jax.jit(make_train_step(model, cfg, optim))
+    ref_losses = []
+    for b in (b0, b1, b0):
+        ref_state, losses = step_fn(ref_state, b, rng)
+        ref_losses.append(float(losses.total))
+
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    state = TrainState.create(variables, optim)
+    scanned = jax.jit(make_scanned_train_step(model, cfg, optim, 3))
+    state, seq = scanned(state, stacked,
+                         jnp.asarray([0, 1, 0], jnp.int32), rng)
+    assert int(state.step) == 3
+    # same batches, same dropout streams -> same losses (float32-close;
+    # scan and straight-line fuse differently)
+    np.testing.assert_allclose(
+        np.asarray(seq.total, np.float64), ref_losses, rtol=1e-6)
+
+    # param equivalence under SGD: with Adam, float-level grad diffs on
+    # near-zero-grad params flip mhat/vhat ~ +-1 and amplify to ~2*lr,
+    # which is expected, not a scan bug
+    import optax
+
+    sgd = optax.sgd(1e-2)
+    ref_state = TrainState.create(variables, sgd)
+    step_sgd = jax.jit(make_train_step(model, cfg, sgd))
+    for b in (b0, b1, b0):
+        ref_state, _ = step_sgd(ref_state, b, rng)
+    state = TrainState.create(variables, sgd)
+    scanned = jax.jit(make_scanned_train_step(model, cfg, sgd, 3))
+    state, _ = scanned(state, stacked,
+                       jnp.asarray([0, 1, 0], jnp.int32), rng)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
