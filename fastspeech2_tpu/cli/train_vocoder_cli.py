@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="shard the segment batch over N devices")
+    p.add_argument("--scan_step", type=int, default=1,
+                   help="run K GAN steps per dispatch over a "
+                        "device-resident corpus bank (clamped to "
+                        "gcd(log_step, save_step); corpus must fit HBM)")
     args = p.parse_args(argv)
     if args.wav_dir is None and args.finetune_from is None:
         p.error("one of --wav_dir or --finetune_from is required")
@@ -83,7 +87,7 @@ def main(argv=None):
         discriminator_config=disc_cfg,
         finetune_from=args.finetune_from,
         mel_source=args.mel_source,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, scan_step=args.scan_step,
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

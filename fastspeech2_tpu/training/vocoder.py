@@ -156,6 +156,40 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
     return step
 
 
+def make_scanned_vocoder_step(inner, segment_size, hop, external_mel):
+    """K GAN steps per dispatch over a device-resident waveform bank.
+
+    Like the acoustic loop's scan mode (loop.py _train_scanned): per-step
+    dispatch through a relay-attached TPU costs ~0.65 s/step (measured,
+    docs/vocoder_training.md) vs tens of ms of compute.  The whole corpus
+    lives on device as a zero-padded [N, L] bank (+[N, F, n_mels] mel bank
+    when fine-tuning); the host supplies [K, B] clip indices and segment
+    starts, and each scan step gathers its segments in-graph.
+    """
+
+    def scanned(state, bank, mel_bank, clips, starts):
+        def gather(source, idx, start, length):
+            return jax.vmap(
+                lambda c, s: jax.lax.dynamic_slice_in_dim(
+                    jnp.take(source, c, axis=0), s, length)
+            )(idx, start)
+
+        def body(state, xs):
+            c, s = xs
+            seg = gather(bank, c, s, segment_size)
+            if external_mel:
+                mel = gather(mel_bank, c, s // hop, segment_size // hop)
+                state, losses = inner(state, seg, mel)
+            else:
+                state, losses = inner(state, seg)
+            return state, losses
+
+        state, seq = jax.lax.scan(body, state, (clips, starts))
+        return state, seq
+
+    return scanned
+
+
 class FinetuneSampler:
     """Aligned (wav, mel) segment pairs from a preprocessed corpus.
 
@@ -258,7 +292,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   n_mel_channels=80, mel_fmax=8000.0, seed=0,
                   finetune_from=None, mel_source="pred",
                   init_generator_params=None, data_parallel=None,
-                  log=print):
+                  scan_step=1, log=print):
     """Train (or smoke-train) the native HiFi-GAN generator.
 
     finetune_from: path to a preprocessed corpus — trains on aligned
@@ -363,6 +397,14 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             donate_argnums=0))
 
     os.makedirs(out_dir, exist_ok=True)
+
+    if scan_step > 1:
+        return _train_vocoder_scanned(
+            scan_step, state, start_step, total_steps, batch_size,
+            segment_size, hop, sampler, external_mel, gen, disc, mel_fn,
+            gen_opt, disc_opt, learning_rate, lr_decay, steps_per_epoch,
+            log_step, save_step, out_dir, data_parallel, seed, log)
+
     for i in range(start_step + 1, total_steps + 1):
         if external_mel:
             wav, mel = sampler.sample(batch_size)
@@ -374,6 +416,102 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             vals = {k: float(v) for k, v in losses.items()}
             log(f"Vocoder step {i}/{total_steps}: "
                 + ", ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+        if i % save_step == 0 or i == total_steps:
+            save_checkpoint(out_dir, state, step=i)
+    return state
+
+
+def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
+                           batch_size, segment_size, hop, sampler,
+                           external_mel, gen, disc, mel_fn, gen_opt,
+                           disc_opt, learning_rate, lr_decay,
+                           steps_per_epoch, log_step, save_step, out_dir,
+                           data_parallel, seed, log):
+    """Device-resident scanned GAN training (see make_scanned_vocoder_step).
+
+    The corpus must fit in HBM as a padded bank: N * L_max floats
+    (+ mel bank when fine-tuning) — e.g. full 24 h LJSpeech is ~2.6 GB,
+    comfortably resident on one v5e chip."""
+    import math
+
+    from fastspeech2_tpu.training.checkpoint import save_checkpoint
+    from fastspeech2_tpu.utils.jit_cache import cached_jit
+
+    K = math.gcd(math.gcd(scan_step, log_step), save_step)
+    if K <= 1:
+        raise ValueError(
+            f"scan_step {scan_step} shares no factor with log_step "
+            f"{log_step} / save_step {save_step}")
+
+    # ---- build the zero-padded device bank(s) + per-clip start ranges ----
+    if external_mel:
+        items = [sampler._load(p) for p in sampler.pairs]
+        wavs = [w for w, _ in items]
+        mels = [m for _, m in items]
+        n_frames_seg = segment_size // hop
+        f_max = max(max(m.shape[0] for m in mels), n_frames_seg)
+        mel_bank = np.zeros((len(mels), f_max, mels[0].shape[1]),
+                            np.float32)
+        for i, m in enumerate(mels):
+            mel_bank[i, : m.shape[0]] = m
+        l_max = f_max * hop
+        # frame-aligned start ranges (starts are multiples of hop)
+        hi = np.array([max(m.shape[0] - n_frames_seg, 0) for m in mels])
+    else:
+        wavs = [sampler._load(p) for p in sampler.paths]
+        l_max = max(max(len(w) for w in wavs), segment_size)
+        mel_bank = np.zeros((1, 1, 1), np.float32)  # unused placeholder
+        hi = np.array([max(len(w) - segment_size, 0) for w in wavs])
+    bank = np.zeros((len(wavs), l_max), np.float32)
+    for i, w in enumerate(wavs):
+        bank[i, : len(w)] = w
+
+    put = jnp.asarray
+    sched_sharding = None
+    if data_parallel and data_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = state.step.sharding.mesh  # set by the caller's device_put
+        put = lambda x: jax.device_put(  # noqa: E731 — replicated banks
+            np.asarray(x), NamedSharding(mesh, P()))
+        sched_sharding = NamedSharding(mesh, P(None, "data"))
+    bank_dev = put(bank)
+    mel_bank_dev = put(mel_bank)
+    log(f"vocoder scan mode: {len(wavs)} clips ({bank.nbytes / 1e6:.0f} MB"
+        f"{' + mel bank' if external_mel else ''}) device-resident, "
+        f"{K} steps/dispatch")
+
+    inner = make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                    external_mel=external_mel)
+    scanned = cached_jit(
+        ("voc_scanned_step", gen, disc, mel_fn, learning_rate, lr_decay,
+         steps_per_epoch, external_mel, K, segment_size),
+        lambda: jax.jit(
+            make_scanned_vocoder_step(inner, segment_size, hop,
+                                      external_mel),
+            donate_argnums=0))
+
+    rng = np.random.RandomState(seed + start_step)
+    i = start_step
+    while i < total_steps:
+        k = min(K, total_steps - i)
+        clips = rng.randint(0, len(wavs), (k, batch_size))
+        starts = (rng.random_sample((k, batch_size))
+                  * (hi[clips] + 1)).astype(np.int64)
+        if external_mel:
+            starts = starts * hop  # frame-aligned wav offsets
+        clips = clips.astype(np.int32)
+        starts = starts.astype(np.int32)
+        if sched_sharding is not None:
+            clips = jax.device_put(clips, sched_sharding)
+            starts = jax.device_put(starts, sched_sharding)
+        state, seq = scanned(state, bank_dev, mel_bank_dev,
+                             jnp.asarray(clips), jnp.asarray(starts))
+        i += k
+        if i % log_step == 0 or i == total_steps:
+            vals = {kk: float(v[-1]) for kk, v in seq.items()}
+            log(f"Vocoder step {i}/{total_steps}: "
+                + ", ".join(f"{kk}={v:.4f}" for kk, v in vals.items()))
         if i % save_step == 0 or i == total_steps:
             save_checkpoint(out_dir, state, step=i)
     return state

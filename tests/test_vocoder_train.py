@@ -344,3 +344,65 @@ def test_train_vocoder_cli(tmp_path):
     ])
     assert int(state.step) == 5
     assert os.path.isdir(tmp_path / "ckpt" / "5")
+
+
+def test_train_vocoder_scan_mode(tmp_path):
+    """--scan_step runs the device-resident bank path: K GAN steps per
+    dispatch with in-graph segment gathers, same duty boundaries."""
+    import json
+
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.cli.train_vocoder_cli import main
+
+    wav_dir = tmp_path / "wavs" / "spk0"
+    os.makedirs(wav_dir)
+    t = np.arange(22050) / 22050.0
+    for i, f in enumerate([220.0, 330.0]):
+        save_wav(str(wav_dir / f"u{i}.wav"),
+                 (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32), 22050)
+
+    cfg = {
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "segment_size": 2048,
+        "num_mels": 8,
+        "learning_rate": 2e-4,
+        "batch_size": 2,
+        "discriminator": {
+            "periods": [2, 3], "n_scales": 2,
+            "period_channels": [4, 8],
+            "scale_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]],
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    logs = []
+    import fastspeech2_tpu.training.vocoder as V
+
+    orig = V.train_vocoder
+
+    def wrapped(*a, **kw):
+        kw["log"] = logs.append
+        return orig(*a, **kw)
+
+    V.train_vocoder = wrapped
+    try:
+        state = main([
+            "--wav_dir", str(tmp_path / "wavs"),
+            "--out_dir", str(tmp_path / "ckpt"),
+            "--config", str(cfg_path),
+            "--total_steps", "4", "--log_step", "2", "--save_step", "4",
+            "--scan_step", "2",
+        ])
+    finally:
+        V.train_vocoder = orig
+    assert int(state.step) == 4
+    assert os.path.isdir(tmp_path / "ckpt" / "4")
+    assert any("vocoder scan mode:" in m for m in logs), logs
+    # losses logged from the scanned dispatch are finite
+    stepline = [m for m in logs if m.startswith("Vocoder step 4/4")]
+    assert stepline, logs
