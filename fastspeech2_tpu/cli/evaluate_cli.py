@@ -30,6 +30,10 @@ def main(argv=None):
                              "duration ratio) against the ground-truth "
                              "wavs; needs a corpus preprocessed with "
                              "preprocessing.audio.save_trimmed_wav: true")
+    parser.add_argument("--split", choices=["val", "train"], default="val",
+                        help="metadata split for --objective (train: e.g. "
+                             "overfit corpora preprocessed with val_size "
+                             "0, where the training set IS the demo set)")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -127,7 +131,7 @@ def _objective_eval(args, configs, model, variables, cfg):
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
                               vocoder=vocoder)
     names, speakers, speaker_ids, texts = load_metadata_rows(
-        preprocess_config, os.path.join(pre_path, "val.txt"))
+        preprocess_config, os.path.join(pre_path, f"{args.split}.txt"))
     sr = pp["audio"]["sampling_rate"]
     max_wav_value = pp["audio"]["max_wav_value"]
     cleaners = pp["text"]["text_cleaners"]
