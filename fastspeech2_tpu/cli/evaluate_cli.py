@@ -34,6 +34,10 @@ def main(argv=None):
                         help="metadata split for --objective (train: e.g. "
                              "overfit corpora preprocessed with val_size "
                              "0, where the training set IS the demo set)")
+    parser.add_argument("--save_dir", default=None,
+                        help="with --objective: also write each "
+                             "synthesized wav plus a metrics.json there "
+                             "(feeds evaluation/demo_page.py)")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -111,7 +115,7 @@ def _objective_eval(args, configs, model, variables, cfg):
     import numpy as np
 
     from fastspeech2_tpu.cli.common import load_metadata_rows
-    from fastspeech2_tpu.evaluation.metrics import mcd
+    from fastspeech2_tpu.evaluation.metrics import f0_metrics, mcd
     from fastspeech2_tpu.synthesis import (
         Synthesizer,
         get_vocoder,
@@ -132,6 +136,12 @@ def _objective_eval(args, configs, model, variables, cfg):
                               vocoder=vocoder)
     names, speakers, speaker_ids, texts = load_metadata_rows(
         preprocess_config, os.path.join(pre_path, f"{args.split}.txt"))
+    raw_map = {}
+    with open(os.path.join(pre_path, f"{args.split}.txt")) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) >= 4:
+                raw_map[parts[0]] = parts[3]
     sr = pp["audio"]["sampling_rate"]
     max_wav_value = pp["audio"]["max_wav_value"]
     cleaners = pp["text"]["text_cleaners"]
@@ -150,12 +160,26 @@ def _objective_eval(args, configs, model, variables, cfg):
         syn = vocoder_infer(out.postnet_mel, vocoder, preprocess_config,
                             lengths=np.asarray(out.mel_len))[0]
         syn = syn.astype(np.float32) / max_wav_value
-        rows.append({
+        row = {
             "name": name,
             "mcd_db": round(mcd(gt, syn, sr,
                                 hop_length=pp["stft"]["hop_length"]), 3),
             "duration_ratio": round(len(syn) / max(len(gt), 1), 4),
-        })
+        }
+        # durations track GT closely in practice (predictor trained on
+        # the same corpus), so frame-aligned F0/voicing metrics stay
+        # meaningful for text->wav too
+        n = min(len(gt), len(syn))
+        row.update({k: round(v, 4) for k, v in f0_metrics(
+            gt[:n], syn[:n], sr, pp["stft"]["hop_length"]).items()})
+        if args.save_dir:
+            from fastspeech2_tpu.audio.wav import save_wav
+
+            os.makedirs(args.save_dir, exist_ok=True)
+            save_wav(os.path.join(args.save_dir, f"{name}_tts.wav"),
+                     syn, sr)
+            row["raw_text"] = raw_map.get(name, "")
+        rows.append(row)
     if not rows:
         print("--objective: no val utterances with saved GT wavs found")
         return
@@ -163,9 +187,13 @@ def _objective_eval(args, configs, model, variables, cfg):
     mean_dur = float(np.mean([r["duration_ratio"] for r in rows]))
     for r in rows:
         print(json.dumps(r))
-    print(json.dumps({"objective_mean": {
+    summary = {"objective_mean": {
         "mcd_db": round(mean_mcd, 3),
-        "duration_ratio": round(mean_dur, 4), "n": len(rows)}}))
+        "duration_ratio": round(mean_dur, 4), "n": len(rows)}}
+    print(json.dumps(summary))
+    if args.save_dir:
+        with open(os.path.join(args.save_dir, "metrics.json"), "w") as f:
+            json.dump({"rows": rows, **summary}, f, indent=1)
     return rows
 
 

@@ -28,7 +28,24 @@ try:  # pragma: no cover - optional dependency
         return [p for p in _g2p_model(word) if p != " "]
 
 except ImportError:
+    _neural_g2p = None
+    _neural_g2p_checked = False
+
     def _oov_to_phones(word):
+        # OOV chain without g2p_en: the trained seq2seq model
+        # (text/neural_g2p.py, weights shipped in text/data/) when
+        # available, else the rule engine
+        global _neural_g2p, _neural_g2p_checked
+        if not _neural_g2p_checked:
+            _neural_g2p_checked = True
+            from fastspeech2_tpu.text import neural_g2p
+
+            if neural_g2p.available():
+                _neural_g2p = neural_g2p.NeuralG2P()
+        if _neural_g2p is not None:
+            phones = _neural_g2p(word)
+            if phones:
+                return phones
         from fastspeech2_tpu.text.letter_to_sound import letter_to_sound
 
         return letter_to_sound(word)
