@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="shard the segment batch over N devices")
+    p.add_argument("--mel_weight", type=float, default=None,
+                   help="generator mel-L1 loss weight (default 45, "
+                        "upstream HiFi-GAN); raise to trade adversarial "
+                        "texture for spectral fidelity")
     p.add_argument("--scan_step", type=int, default=1,
                    help="run K GAN steps per dispatch over a "
                         "device-resident corpus bank (clamped to "
@@ -88,6 +92,8 @@ def main(argv=None):
         finetune_from=args.finetune_from,
         mel_source=args.mel_source,
         data_parallel=args.data_parallel, scan_step=args.scan_step,
+        mel_weight=(args.mel_weight if args.mel_weight is not None
+                    else cfg.get("mel_weight", 45.0)),
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

@@ -292,7 +292,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   n_mel_channels=80, mel_fmax=8000.0, seed=0,
                   finetune_from=None, mel_source="pred",
                   init_generator_params=None, data_parallel=None,
-                  scan_step=1, log=print):
+                  scan_step=1, mel_weight=45.0, log=print):
     """Train (or smoke-train) the native HiFi-GAN generator.
 
     finetune_from: path to a preprocessed corpus — trains on aligned
@@ -390,9 +390,10 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
 
     step_fn = cached_jit(
         ("voc_train_step", gen, disc, mel_fn, learning_rate, lr_decay,
-         steps_per_epoch, external_mel),
+         steps_per_epoch, external_mel, mel_weight),
         lambda: jax.jit(
             make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                    mel_weight=mel_weight,
                                     external_mel=external_mel),
             donate_argnums=0))
 
@@ -403,7 +404,8 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             scan_step, state, start_step, total_steps, batch_size,
             segment_size, hop, sampler, external_mel, gen, disc, mel_fn,
             gen_opt, disc_opt, learning_rate, lr_decay, steps_per_epoch,
-            log_step, save_step, out_dir, data_parallel, seed, log)
+            log_step, save_step, out_dir, data_parallel, seed, mel_weight,
+            log)
 
     for i in range(start_step + 1, total_steps + 1):
         if external_mel:
@@ -426,7 +428,7 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
                            external_mel, gen, disc, mel_fn, gen_opt,
                            disc_opt, learning_rate, lr_decay,
                            steps_per_epoch, log_step, save_step, out_dir,
-                           data_parallel, seed, log):
+                           data_parallel, seed, mel_weight, log):
     """Device-resident scanned GAN training (see make_scanned_vocoder_step).
 
     The corpus must fit in HBM as a padded bank: N * L_max floats
@@ -482,10 +484,11 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
         f"{K} steps/dispatch")
 
     inner = make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                    mel_weight=mel_weight,
                                     external_mel=external_mel)
     scanned = cached_jit(
         ("voc_scanned_step", gen, disc, mel_fn, learning_rate, lr_decay,
-         steps_per_epoch, external_mel, K, segment_size),
+         steps_per_epoch, external_mel, K, segment_size, mel_weight),
         lambda: jax.jit(
             make_scanned_vocoder_step(inner, segment_size, hop,
                                       external_mel),
