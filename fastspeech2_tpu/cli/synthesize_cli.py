@@ -26,6 +26,12 @@ def main(argv=None):
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--control_mode", default="reference",
+                        choices=("reference", "absolute"),
+                        help="reference: scale the z-scored prediction "
+                             "(upstream model/modules.py:124,146 "
+                             "semantics); absolute: scale the real "
+                             "F0/energy value, so 1.2 means +20%% Hz")
     parser.add_argument("--torch_ckpt", type=str, default=None,
                         help="reference-format .pth.tar checkpoint")
     parser.add_argument("--vocoder_ckpt", type=str, default=None,
@@ -53,7 +59,8 @@ def main(argv=None):
     vocoder = get_vocoder(model_config, preprocess_config,
                           args.vocoder_ckpt)
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
-                              vocoder=vocoder)
+                              vocoder=vocoder,
+                              control_mode=args.control_mode)
     result_path = train_config["path"]["result_path"]
 
     if args.mode == "single" and args.long:

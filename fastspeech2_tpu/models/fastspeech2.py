@@ -54,6 +54,8 @@ class FastSpeech2(nn.Module):
         p_control: float = 1.0,
         e_control: float = 1.0,
         d_control: float = 1.0,
+        p_offset: float = 0.0,   # see VarianceAdaptor: absolute-ratio
+        e_offset: float = 0.0,   # control on z-scored features
         train: bool = False,
         truncate_decoder: bool = True,
         # True mirrors the reference's training-time truncation to
@@ -114,6 +116,8 @@ class FastSpeech2(nn.Module):
             p_control=p_control,
             e_control=e_control,
             d_control=d_control,
+            p_offset=p_offset,
+            e_offset=e_offset,
             deterministic=deterministic,
         )
 

@@ -94,14 +94,19 @@ class VarianceAdaptor(nn.Module):
             dtype=self.dtype)
 
     def _variance_embedding(self, predictor, embed, bins, x, target, pad_mask,
-                            control, deterministic):
+                            control, offset, deterministic):
         prediction = predictor(x, pad_mask, deterministic=deterministic)
         if target is not None:
             ids = jnp.searchsorted(bins, target.astype(jnp.float32),
                                    side="left")
             embedding = embed(ids)
         else:
-            prediction = prediction * control
+            # control scales the predicted (normalized) variance like the
+            # reference (model/modules.py:124,146); offset (default 0)
+            # lets callers express ABSOLUTE Hz-/energy-ratio control on
+            # z-scored features: z' = r*z + (r-1)*mean/std  <=>  v' = r*v
+            # (synthesis/pipeline.py control_mode="absolute")
+            prediction = prediction * control + offset
             ids = jnp.searchsorted(bins, prediction.astype(jnp.float32),
                                    side="left")
             embedding = embed(ids)
@@ -119,6 +124,8 @@ class VarianceAdaptor(nn.Module):
         p_control: float = 1.0,
         e_control: float = 1.0,
         d_control: float = 1.0,
+        p_offset: float = 0.0,
+        e_offset: float = 0.0,
         deterministic: bool = True,
     ):
         cfg = self.config
@@ -129,13 +136,14 @@ class VarianceAdaptor(nn.Module):
         if cfg.pitch_feature_level == "phoneme_level":
             pitch_prediction, emb = self._variance_embedding(
                 self.pitch_predictor, self.pitch_embedding, self.pitch_bins,
-                x, pitch_target, src_pad_mask, p_control, deterministic)
+                x, pitch_target, src_pad_mask, p_control, p_offset,
+                deterministic)
             x = x + emb
         if cfg.energy_feature_level == "phoneme_level":
             energy_prediction, emb = self._variance_embedding(
                 self.energy_predictor, self.energy_embedding,
                 self.energy_bins, x, energy_target, src_pad_mask, e_control,
-                deterministic)
+                e_offset, deterministic)
             x = x + emb
 
         if duration_target is not None:
@@ -167,13 +175,14 @@ class VarianceAdaptor(nn.Module):
         if cfg.pitch_feature_level == "frame_level":
             pitch_prediction, emb = self._variance_embedding(
                 self.pitch_predictor, self.pitch_embedding, self.pitch_bins,
-                x, pitch_target, mel_pad_mask, p_control, deterministic)
+                x, pitch_target, mel_pad_mask, p_control, p_offset,
+                deterministic)
             x = x + emb
         if cfg.energy_feature_level == "frame_level":
             energy_prediction, emb = self._variance_embedding(
                 self.energy_predictor, self.energy_embedding,
                 self.energy_bins, x, energy_target, mel_pad_mask, e_control,
-                deterministic)
+                e_offset, deterministic)
             x = x + emb
 
         x = fill_masked(x, mel_pad_mask)

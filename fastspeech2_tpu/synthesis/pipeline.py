@@ -29,7 +29,19 @@ from fastspeech2_tpu.text.g2p import (
 
 class Synthesizer:
     def __init__(self, model, variables, config, preprocess_config,
-                 vocoder=None, max_mel_len=None, text_bucket=16):
+                 vocoder=None, max_mel_len=None, text_bucket=16,
+                 control_mode="reference"):
+        """control_mode: how p/e control ratios are interpreted.
+
+        - "reference": scale the PREDICTED (z-normalized) variance, the
+          reference's semantics (model/modules.py:124,146).  On a
+          z-scored feature this shifts additively in real units, so
+          p_control=1.2 does NOT mean "+20% F0".
+        - "absolute": scale the DENORMALIZED value — p_control=1.2 means
+          F0 rises 20% in Hz, e_control likewise for energy.  Uses the
+          corpus stats.json: z' = r*z + (r-1)*mean/std  <=>  v' = r*v.
+          A strict superset of the reference's advertised control.
+        """
         self.model = model
         self.variables = variables
         self.config = config
@@ -37,17 +49,20 @@ class Synthesizer:
         self.vocoder = vocoder
         self.max_mel_len = max_mel_len or config.max_seq_len
         self.text_bucket = text_bucket
+        self.control_mode = control_mode
         self._lexicon = None
+        self._stats = None
 
         def _build_forward():
             @partial(jax.jit,
                      static_argnames=("max_mel_len", "truncate_decoder"))
             def _forward(variables, speakers, texts, src_lens, p, e, d,
-                         max_mel_len, truncate_decoder=True):
+                         p_off, e_off, max_mel_len, truncate_decoder=True):
                 return model.apply(
                     variables, speakers, texts, src_lens,
                     max_mel_len=max_mel_len,
                     p_control=p, e_control=e, d_control=d,
+                    p_offset=p_off, e_offset=e_off,
                     train=False, truncate_decoder=truncate_decoder,
                 )
 
@@ -68,12 +83,13 @@ class Synthesizer:
                          static_argnames=("max_mel_len",
                                           "truncate_decoder"))
                 def _fused(variables, voc_params, speakers, texts,
-                           src_lens, p, e, d, max_mel_len,
+                           src_lens, p, e, d, p_off, e_off, max_mel_len,
                            truncate_decoder=True):
                     out = model.apply(
                         variables, speakers, texts, src_lens,
                         max_mel_len=max_mel_len,
                         p_control=p, e_control=e, d_control=d,
+                        p_offset=p_off, e_offset=e_off,
                         train=False, truncate_decoder=truncate_decoder)
                     wav = inner(voc_params, out.postnet_mel)
                     return wav, out
@@ -141,6 +157,33 @@ class Synthesizer:
 
     # -- inference -------------------------------------------------------
 
+    def _control_offsets(self, p_control, e_control):
+        """(p_offset, e_offset) for the active control_mode.
+
+        In "absolute" mode, turn a denormalized ratio r into the
+        z-space affine z' = r*z + (r-1)*mean/std using the corpus
+        stats.json; only applies to features the preprocessor actually
+        z-scored (normalization: True), else the ratio is already
+        absolute and the offset stays 0.
+        """
+        if self.control_mode != "absolute":
+            return 0.0, 0.0
+        if self._stats is None:
+            stats_path = os.path.join(
+                self.preprocess_config["path"]["preprocessed_path"],
+                "stats.json")
+            with open(stats_path) as f:
+                self._stats = json.load(f)
+        pp = self.preprocess_config["preprocessing"]
+        p_off = e_off = 0.0
+        if pp["pitch"].get("normalization", False):
+            mean, std = self._stats["pitch"][2:4]
+            p_off = (p_control - 1.0) * mean / std
+        if pp["energy"].get("normalization", False):
+            mean, std = self._stats["energy"][2:4]
+            e_off = (e_control - 1.0) * mean / std
+        return p_off, e_off
+
     def _needed_mel_len(self, out):
         """Unclipped total predicted frames (duration_rounded is never
         truncated, so this sees past the static max_mel_len cap)."""
@@ -161,12 +204,14 @@ class Synthesizer:
         (transformer/Models.py:82-87,145-151: PE regenerated, no
         truncation at inference)."""
         B = len(id_seqs)
+        p_off, e_off = self._control_offsets(p_control, e_control)
         speakers, texts, src_lens = self._pack_batch(id_seqs, speakers)
         out = self._forward(
             self.variables, jnp.asarray(speakers), jnp.asarray(texts),
             jnp.asarray(src_lens),
             jnp.float32(p_control), jnp.float32(e_control),
             jnp.float32(d_control),
+            jnp.float32(p_off), jnp.float32(e_off),
             max_mel_len=self.max_mel_len,
         )
         need = self._needed_mel_len(out)
@@ -176,6 +221,7 @@ class Synthesizer:
                 jnp.asarray(src_lens),
                 jnp.float32(p_control), jnp.float32(e_control),
                 jnp.float32(d_control),
+                jnp.float32(p_off), jnp.float32(e_off),
                 max_mel_len=self._extended_mel_len(need),
                 truncate_decoder=False,
             )
@@ -187,6 +233,7 @@ class Synthesizer:
         id_seqs = [self.text_to_ids(t)[0] for t in texts]
         if self._fused is not None:
             B = len(id_seqs)
+            p_off, e_off = self._control_offsets(p_control, e_control)
             speakers, texts_arr, src_lens = self._pack_batch(id_seqs,
                                                             speakers)
             wav_float, out = self._fused(
@@ -194,7 +241,9 @@ class Synthesizer:
                 jnp.asarray(speakers), jnp.asarray(texts_arr),
                 jnp.asarray(src_lens),
                 jnp.float32(p_control), jnp.float32(e_control),
-                jnp.float32(d_control), max_mel_len=self.max_mel_len)
+                jnp.float32(d_control),
+                jnp.float32(p_off), jnp.float32(e_off),
+                max_mel_len=self.max_mel_len)
             need = self._needed_mel_len(out)
             if need > self.max_mel_len:
                 # re-dispatch at an extended static length, untruncated
@@ -204,6 +253,7 @@ class Synthesizer:
                     jnp.asarray(src_lens),
                     jnp.float32(p_control), jnp.float32(e_control),
                     jnp.float32(d_control),
+                    jnp.float32(p_off), jnp.float32(e_off),
                     max_mel_len=self._extended_mel_len(need),
                     truncate_decoder=False)
             pp = self.preprocess_config["preprocessing"]

@@ -112,6 +112,96 @@ def test_synthesize_long(synthesizer):
     assert len(wav) > 2 * int(sr * 0.12)
 
 
+def test_absolute_control_mode(synthesizer, tmp_path):
+    """control_mode="absolute" (round-2 superset): p/e ratios act on the
+    DENORMALIZED feature — z' = r*z + (r-1)*mean/std so v' = r*v —
+    unlike the reference's scaling of the z-scored prediction
+    (model/modules.py:124,146)."""
+    import copy
+    import json
+
+    p_mean, p_std = 200.0, 50.0
+    e_mean, e_std = 30.0, 20.0
+    pp = copy.deepcopy(synthesizer.preprocess_config)
+    pp["path"]["preprocessed_path"] = str(tmp_path)
+    pp["preprocessing"]["pitch"]["normalization"] = True
+    pp["preprocessing"]["energy"]["normalization"] = True
+    with open(tmp_path / "stats.json", "w") as f:
+        json.dump({"pitch": [-3.0, 3.0, p_mean, p_std],
+                   "energy": [-2.0, 5.0, e_mean, e_std]}, f)
+    abs_syn = Synthesizer(
+        synthesizer.model, synthesizer.variables, synthesizer.config,
+        pp, vocoder=synthesizer.vocoder, max_mel_len=64,
+        control_mode="absolute")
+
+    ids, _ = synthesizer.text_to_ids("hello world")
+    base = synthesizer.infer_ids([ids])          # reference mode, r=1
+    r = 1.2
+    n = int(np.asarray(base.src_len)[0])
+    # vary one control at a time: the pitch embedding feeds the energy
+    # predictor's input, so energy is only affine w.r.t. e_control alone
+    out_p = abs_syn.infer_ids([ids], p_control=r)
+    out_e = abs_syn.infer_ids([ids], e_control=r)
+    for pred0, pred1, mean, std in (
+            (base.pitch_prediction, out_p.pitch_prediction, p_mean,
+             p_std),
+            (base.energy_prediction, out_e.energy_prediction, e_mean,
+             e_std)):
+        z0 = np.asarray(pred0, np.float32)[0, :n]
+        z1 = np.asarray(pred1, np.float32)[0, :n]
+        v0 = z0 * std + mean
+        v1 = z1 * std + mean
+        np.testing.assert_allclose(v1, r * v0, rtol=2e-4, atol=2e-3)
+
+    # without normalization flags, absolute mode degrades to reference
+    pp2 = copy.deepcopy(pp)
+    pp2["preprocessing"]["pitch"]["normalization"] = False
+    pp2["preprocessing"]["energy"]["normalization"] = False
+    plain = Synthesizer(
+        synthesizer.model, synthesizer.variables, synthesizer.config,
+        pp2, vocoder=synthesizer.vocoder, max_mel_len=64,
+        control_mode="absolute")
+    out2 = plain.infer_ids([ids], p_control=r)
+    z0 = np.asarray(base.pitch_prediction, np.float32)[0, :n]
+    z2 = np.asarray(out2.pitch_prediction, np.float32)[0, :n]
+    np.testing.assert_allclose(z2, r * z0, rtol=2e-4, atol=2e-4)
+
+
+def test_prosody_sweep_verify_gates():
+    """prosody_sweep.verify: reference mode gates z-space scaling;
+    absolute mode gates denormalized ratios + wav direction."""
+    from fastspeech2_tpu.evaluation.prosody_sweep import verify
+
+    def mk(scale_abs):
+        res = {}
+        for c in ("pitch", "energy", "duration"):
+            res[c] = {}
+            for r in (0.8, 1.0, 1.2):
+                eff = r if c[0] in scale_abs else 1.0
+                res[c][f"{r:.1f}"] = {
+                    "mel_frames": int(100 * (r if c == "duration" else 1)),
+                    "pred_f0_z": round(-0.5 * (eff if c == "pitch"
+                                               else 1.0), 4),
+                    "pred_f0_hz": 200.0 * (eff if c == "pitch" else 1.0),
+                    "pred_energy_z": round(0.4 * (eff if c == "energy"
+                                                  else 1.0), 4),
+                    "pred_energy": 30.0 * (eff if c == "energy" else 1.0),
+                    "f0_mean_hz": 200.0 * (eff if c == "pitch" else 1.0),
+                    "rms": 0.1 * (eff if c == "energy" else 1.0),
+                }
+        return res
+
+    # absolute-mode-shaped data passes absolute gates
+    ok, checks = verify(mk("pe"), mode="absolute")
+    assert ok, checks
+    # reference-mode-shaped data (z scales by r) passes reference gates
+    ok, checks = verify(mk("pe"), mode="reference")
+    assert ok, checks
+    # broken controls (nothing moves) fail both
+    assert not verify(mk(""), mode="absolute")[0]
+    assert not verify(mk(""), mode="reference")[0]
+
+
 def test_single_utterance_beyond_max_seq_len(synthesizer):
     """Round-1 verdict #4: one long utterance must synthesize past the
     static max_seq_len cap, like the reference's eval-time PE extension
