@@ -38,6 +38,10 @@ def main(argv=None):
                         help="with --objective: also write each "
                              "synthesized wav plus a metrics.json there "
                              "(feeds evaluation/demo_page.py)")
+    parser.add_argument("--vocoder_ckpt", default=None,
+                        help="vocoder weights for --objective/--synth: a "
+                             "torch generator checkpoint or a native "
+                             "orbax dir from train_vocoder.py")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -76,7 +80,8 @@ def main(argv=None):
         from fastspeech2_tpu.synthesis import get_vocoder
         from fastspeech2_tpu.training.loop import synth_one_sample
 
-        vocoder = get_vocoder(model_config, preprocess_config, None)
+        vocoder = get_vocoder(model_config, preprocess_config,
+                              args.vocoder_ckpt)
         batch = collate_batch([val_dataset[0]],
                               max_mel_len=cfg.max_seq_len)
         fig, wav_rec, wav_pred = synth_one_sample(
@@ -131,7 +136,8 @@ def _objective_eval(args, configs, model, variables, cfg):
         print("--objective needs trimmed GT wavs: re-preprocess with "
               "preprocessing.audio.save_trimmed_wav: true")
         return
-    vocoder = get_vocoder(model_config, preprocess_config, None)
+    vocoder = get_vocoder(model_config, preprocess_config,
+                          args.vocoder_ckpt)
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
                               vocoder=vocoder)
     names, speakers, speaker_ids, texts = load_metadata_rows(

@@ -54,11 +54,14 @@ def main(argv=None):
             cfg = json.load(f)
 
     gen_cfg = {}
-    for src, dst in [("upsample_rates", "upsample_rates"),
+    for src, dst in [("arch", "arch"),                      # "melgan"
+                     ("upsample_rates", "upsample_rates"),
                      ("upsample_kernel_sizes", "upsample_kernel_sizes"),
                      ("upsample_initial_channel", "upsample_initial_channel"),
                      ("resblock_kernel_sizes", "resblock_kernel_sizes"),
                      ("resblock_dilation_sizes", "resblock_dilation_sizes"),
+                     ("ngf", "ngf"),                        # melgan width
+                     ("n_residual_layers", "n_residual_layers"),
                      ("gen_istft_n_fft", "gen_istft_n_fft"),
                      ("gen_istft_hop_size", "gen_istft_hop_size")]:
         if src in cfg:

@@ -98,10 +98,11 @@ class MelGANVocoder:
     feeds it log10 mels, dividing the log-e mel by ln(10)
     (utils/model.py:78) — applied here before the network."""
 
-    def __init__(self, params=None, ckpt_path=None, dtype=jnp.float32):
+    def __init__(self, params=None, ckpt_path=None, dtype=jnp.float32,
+                 gen_config=None):
         from fastspeech2_tpu.models.melgan import MelGANGenerator
 
-        self.generator = MelGANGenerator(dtype=dtype)
+        self.generator = MelGANGenerator(dtype=dtype, **(gen_config or {}))
         if params is None and ckpt_path and os.path.exists(ckpt_path):
             from fastspeech2_tpu.convert.from_torch import (
                 melgan_params_from_torch,
@@ -222,6 +223,14 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
                     len(config["resblock_kernel_sizes"])))
         return HiFiGANVocoder(params, config)
     if name == "MelGAN":
+        if ckpt_path and os.path.isdir(ckpt_path):
+            # native orbax step dir from train_vocoder
+            # (config_melgan.json recipe)
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                tree = ckptr.restore(os.path.abspath(ckpt_path))
+            return MelGANVocoder(params={"params": tree["gen_params"]})
         return MelGANVocoder(ckpt_path=ckpt_path)
     return GriffinLimVocoder(preprocess_config)
 

@@ -92,11 +92,17 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
                             mel_fn: MelSpectrogram,
                             gen_opt, disc_opt,
                             mel_weight: float = 45.0,
-                            external_mel: bool = False):
+                            external_mel: bool = False,
+                            gen_input_scale: float = 1.0):
     """external_mel=False: the generator input mel is computed on device
     from the ground-truth segment (from-scratch training).  True: the step
     takes (wav, mel_in) — e.g. acoustic-model-predicted mels for
-    fine-tuning — while GT wav still anchors the GAN and mel losses."""
+    fine-tuning — while GT wav still anchors the GAN and mel losses.
+
+    gen_input_scale rescales the generator INPUT mel only (the mel-L1
+    target stays log-e): MelGAN consumes log10 mels by the reference's
+    convention (utils/model.py:78), so its trainer passes 1/ln(10) and
+    natively trained params drop into MelGANVocoder unchanged."""
     hop = mel_fn.hop_length
 
     def mel_of(wav, n_frames):
@@ -111,6 +117,8 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
             mel_in = mel
         else:
             mel_in = mel_of(wav, n_frames).transpose(0, 2, 1)  # [B,F,n_mels]
+        if gen_input_scale != 1.0:
+            mel_in = mel_in * gen_input_scale
 
         y_hat = gen.apply({"params": state.gen_params}, mel_in)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
@@ -306,7 +314,17 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     from fastspeech2_tpu.training.checkpoint import save_checkpoint
 
     gen_cfg = dict(generator_config or {})
-    if "gen_istft_n_fft" in gen_cfg:
+    arch = gen_cfg.pop("arch", None)
+    gen_input_scale = 1.0
+    if arch == "melgan":
+        # trains the MelGAN generator (models/melgan.py) against the
+        # same MPD+MSD discriminators and objective; the reference only
+        # torch.hub-loads pretrained MelGAN weights (utils/model.py:46-56)
+        from fastspeech2_tpu.models.melgan import MelGANGenerator
+
+        gen = MelGANGenerator(**gen_cfg, n_mel_channels=n_mel_channels)
+        gen_input_scale = 1.0 / float(np.log(10.0))
+    elif "gen_istft_n_fft" in gen_cfg:
         # fast-variant generator (models/hifigan_istft.py); same io
         # contract, trains against the same MPD/MSD discriminators
         from fastspeech2_tpu.models.hifigan_istft import (
@@ -390,11 +408,12 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
 
     step_fn = cached_jit(
         ("voc_train_step", gen, disc, mel_fn, learning_rate, lr_decay,
-         steps_per_epoch, external_mel, mel_weight),
+         steps_per_epoch, external_mel, mel_weight, gen_input_scale),
         lambda: jax.jit(
             make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                     mel_weight=mel_weight,
-                                    external_mel=external_mel),
+                                    external_mel=external_mel,
+                                    gen_input_scale=gen_input_scale),
             donate_argnums=0))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -485,10 +504,12 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
 
     inner = make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                     mel_weight=mel_weight,
-                                    external_mel=external_mel)
+                                    external_mel=external_mel,
+                                    gen_input_scale=gen_input_scale)
     scanned = cached_jit(
         ("voc_scanned_step", gen, disc, mel_fn, learning_rate, lr_decay,
-         steps_per_epoch, external_mel, K, segment_size, mel_weight),
+         steps_per_epoch, external_mel, K, segment_size, mel_weight,
+         gen_input_scale),
         lambda: jax.jit(
             make_scanned_vocoder_step(inner, segment_size, hop,
                                       external_mel),

@@ -186,8 +186,9 @@ def test_prosody_sweep_verify_gates():
                     "pred_energy_z": round(0.4 * (eff if c == "energy"
                                                   else 1.0), 4),
                     "pred_energy": 30.0 * (eff if c == "energy" else 1.0),
-                    "f0_mean_hz": 200.0 * (eff if c == "pitch" else 1.0),
-                    "rms": 0.1 * (eff if c == "energy" else 1.0),
+                    "wav_f0_ratio": round(eff if c == "pitch" else 1.0, 3),
+                    "wav_rms_ratio": round(eff if c == "energy" else 1.0,
+                                           3),
                 }
         return res
 

@@ -406,3 +406,61 @@ def test_train_vocoder_scan_mode(tmp_path):
     # losses logged from the scanned dispatch are finite
     stepline = [m for m in logs if m.startswith("Vocoder step 4/4")]
     assert stepline, logs
+
+
+def test_train_vocoder_melgan(tmp_path):
+    """arch: melgan trains the MelGAN topology (models/melgan.py) with the
+    same GAN objective, and the native checkpoint loads through
+    get_vocoder + vocodes — the capability the reference only gets from
+    torch.hub pretrained weights (utils/model.py:46-56)."""
+    import json
+
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.cli.train_vocoder_cli import main
+
+    wav_dir = tmp_path / "wavs" / "spk0"
+    os.makedirs(wav_dir)
+    t = np.arange(22050) / 22050.0
+    for i, f in enumerate([220.0, 330.0]):
+        save_wav(str(wav_dir / f"u{i}.wav"),
+                 (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32),
+                 22050)
+
+    cfg = {
+        "arch": "melgan",
+        "upsample_rates": [8, 8, 2, 2],
+        "ngf": 4,
+        "n_residual_layers": 1,
+        "segment_size": 2048,
+        "num_mels": 8,
+        "learning_rate": 2e-4,
+        "batch_size": 2,
+        "discriminator": {
+            "periods": [2, 3], "n_scales": 2,
+            "period_channels": [4, 8],
+            "scale_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]],
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    state = main([
+        "--wav_dir", str(tmp_path / "wavs"),
+        "--out_dir", str(tmp_path / "ckpt"),
+        "--config", str(cfg_path),
+        "--total_steps", "2", "--log_step", "1", "--save_step", "2",
+    ])
+    assert int(state.step) == 2
+    assert os.path.isdir(tmp_path / "ckpt" / "2")
+    # melgan params, not hifigan: reflect-padded conv_pre + up_i/res_i_j
+    assert "up_0" in state.gen_params and "conv_pre" in state.gen_params
+
+    # the native checkpoint round-trips through the inference path
+    from fastspeech2_tpu.synthesis.vocoder import MelGANVocoder
+
+    voc = MelGANVocoder(
+        params={"params": jax.device_get(state.gen_params)},
+        gen_config={"ngf": 4, "n_residual_layers": 1, "n_mel_channels": 8})
+    wav = voc(jnp.zeros((1, 4, 8), jnp.float32))
+    assert wav.shape == (1, 4 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
