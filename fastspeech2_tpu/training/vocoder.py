@@ -424,7 +424,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             segment_size, hop, sampler, external_mel, gen, disc, mel_fn,
             gen_opt, disc_opt, learning_rate, lr_decay, steps_per_epoch,
             log_step, save_step, out_dir, data_parallel, seed, mel_weight,
-            log)
+            gen_input_scale, log)
 
     for i in range(start_step + 1, total_steps + 1):
         if external_mel:
@@ -447,7 +447,8 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
                            external_mel, gen, disc, mel_fn, gen_opt,
                            disc_opt, learning_rate, lr_decay,
                            steps_per_epoch, log_step, save_step, out_dir,
-                           data_parallel, seed, mel_weight, log):
+                           data_parallel, seed, mel_weight,
+                           gen_input_scale, log):
     """Device-resident scanned GAN training (see make_scanned_vocoder_step).
 
     The corpus must fit in HBM as a padded bank: N * L_max floats

@@ -448,7 +448,8 @@ def test_train_vocoder_melgan(tmp_path):
         "--wav_dir", str(tmp_path / "wavs"),
         "--out_dir", str(tmp_path / "ckpt"),
         "--config", str(cfg_path),
-        "--total_steps", "2", "--log_step", "1", "--save_step", "2",
+        "--total_steps", "2", "--log_step", "2", "--save_step", "2",
+        "--scan_step", "2",   # also covers the scanned path's input scale
     ])
     assert int(state.step) == 2
     assert os.path.isdir(tmp_path / "ckpt" / "2")
