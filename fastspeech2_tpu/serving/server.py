@@ -434,7 +434,13 @@ class TTSServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # stdlib default listen backlog is 5: a concurrency spike RSTs
+        # connections at the socket before the 429 shedding path can
+        # answer them.  Accept the burst, shed in-protocol instead.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), Handler)
         self.port = self.httpd.server_address[1]
         self._thread = None
 
