@@ -33,8 +33,13 @@ def build_server(args):
 
     vocoder = get_vocoder(model_config, preprocess_config,
                           args.vocoder_ckpt)
+    mesh = None
+    if args.data_parallel and args.data_parallel > 1:
+        from fastspeech2_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel, model=1)
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
-                              vocoder=vocoder)
+                              vocoder=vocoder, mesh=mesh)
     batcher = BatchingSynthesizer(
         synthesizer, max_batch_size=args.max_batch_size,
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)
@@ -72,6 +77,10 @@ def main(argv=None):
                         help="skip pre-compiling the batch/text bucket "
                              "executables at startup (first requests then "
                              "pay the compiles)")
+    parser.add_argument("--data_parallel", type=int, default=None,
+                        help="shard inference batches over an N-device "
+                             "data mesh (params replicated); batch "
+                             "buckets round up to N")
     args = parser.parse_args(argv)
 
     server = build_server(args)

@@ -30,7 +30,7 @@ from fastspeech2_tpu.text.g2p import (
 class Synthesizer:
     def __init__(self, model, variables, config, preprocess_config,
                  vocoder=None, max_mel_len=None, text_bucket=16,
-                 control_mode="reference"):
+                 control_mode="reference", mesh=None):
         """control_mode: how p/e control ratios are interpreted.
 
         - "reference": scale the PREDICTED (z-normalized) variance, the
@@ -41,9 +41,27 @@ class Synthesizer:
           F0 rises 20% in Hz, e_control likewise for energy.  Uses the
           corpus stats.json: z' = r*z + (r-1)*mean/std  <=>  v' = r*v.
           A strict superset of the reference's advertised control.
+
+        mesh: optional jax.sharding.Mesh with a "data" axis — inference
+        batches shard over it (params replicated, XLA splits the batch
+        across chips); the batch bucket rounds up to the axis size.
+        This is the multi-chip serving path (supersedes the reference's
+        single-GPU inference, synthesize.py:19).
         """
         self.model = model
         self.variables = variables
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self.variables = jax.device_put(variables, replicated)
+            if vocoder is not None and getattr(vocoder, "params", None) \
+                    is not None:
+                vocoder.params = jax.device_put(vocoder.params, replicated)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._dp = mesh.shape["data"]
         self.config = config
         self.preprocess_config = preprocess_config
         self.vocoder = vocoder
@@ -129,6 +147,8 @@ class Synthesizer:
         """
         B = len(id_seqs)
         Bb = max(1, 1 << (B - 1).bit_length())
+        if self._batch_sharding is not None:
+            Bb = max(Bb, self._dp)  # divisible: both are powers of two
         P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
         texts = np.zeros((Bb, P), np.int32)
         src_lens = np.zeros(Bb, np.int32)
@@ -156,6 +176,13 @@ class Synthesizer:
             dtype=np.int32), phones
 
     # -- inference -------------------------------------------------------
+
+    def _put(self, x):
+        """Batch array -> device; under a mesh, sharded over "data"
+        along dim 0 (PartitionSpec pads remaining dims as replicated)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(x), self._batch_sharding)
+        return jnp.asarray(x)
 
     def _control_offsets(self, p_control, e_control):
         """(p_offset, e_offset) for the active control_mode.
@@ -207,8 +234,8 @@ class Synthesizer:
         p_off, e_off = self._control_offsets(p_control, e_control)
         speakers, texts, src_lens = self._pack_batch(id_seqs, speakers)
         out = self._forward(
-            self.variables, jnp.asarray(speakers), jnp.asarray(texts),
-            jnp.asarray(src_lens),
+            self.variables, self._put(speakers), self._put(texts),
+            self._put(src_lens),
             jnp.float32(p_control), jnp.float32(e_control),
             jnp.float32(d_control),
             jnp.float32(p_off), jnp.float32(e_off),
@@ -217,8 +244,8 @@ class Synthesizer:
         need = self._needed_mel_len(out)
         if need > self.max_mel_len:
             out = self._forward(
-                self.variables, jnp.asarray(speakers), jnp.asarray(texts),
-                jnp.asarray(src_lens),
+                self.variables, self._put(speakers), self._put(texts),
+                self._put(src_lens),
                 jnp.float32(p_control), jnp.float32(e_control),
                 jnp.float32(d_control),
                 jnp.float32(p_off), jnp.float32(e_off),
@@ -238,8 +265,8 @@ class Synthesizer:
                                                             speakers)
             wav_float, out = self._fused(
                 self.variables, self.vocoder.params,
-                jnp.asarray(speakers), jnp.asarray(texts_arr),
-                jnp.asarray(src_lens),
+                self._put(speakers), self._put(texts_arr),
+                self._put(src_lens),
                 jnp.float32(p_control), jnp.float32(e_control),
                 jnp.float32(d_control),
                 jnp.float32(p_off), jnp.float32(e_off),
@@ -249,8 +276,8 @@ class Synthesizer:
                 # re-dispatch at an extended static length, untruncated
                 wav_float, out = self._fused(
                     self.variables, self.vocoder.params,
-                    jnp.asarray(speakers), jnp.asarray(texts_arr),
-                    jnp.asarray(src_lens),
+                    self._put(speakers), self._put(texts_arr),
+                    self._put(src_lens),
                     jnp.float32(p_control), jnp.float32(e_control),
                     jnp.float32(d_control),
                     jnp.float32(p_off), jnp.float32(e_off),
