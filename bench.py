@@ -349,7 +349,9 @@ def _main():
         # tunnel) amortizes away, leaving true per-step device compute —
         # component-level profiling cross-checks this (grad ~10.6 ms +
         # adam ~0.6 ms at these shapes vs ~22 ms at dispatch level).
-        SCAN_STEPS = 8
+        # 32 steps/dispatch bounds the residual per-step share of that
+        # overhead at ~0.3 ms (8 steps left ~1.2 ms/step in the number).
+        SCAN_STEPS = 32
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *tbatches)
 
