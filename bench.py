@@ -185,21 +185,24 @@ def _main():
                              max_mel_len=T, train=False)
         return jnp.sum(out.postnet_mel.astype(jnp.float32))
 
-    def timed(fn, arg_packs, trials):
+    trial_log = {}
+
+    def timed(fn, arg_packs, trials, tag=None):
         float(fn(*arg_packs[0]))  # compile + warm
-        best = float("inf")
+        best, times = float("inf"), []
         for i in range(trials):
             a = arg_packs[(i + 1) % len(arg_packs)]
             t0 = time.time()
             float(fn(*a))
-            best = min(best, time.time() - t0)
+            times.append(time.time() - t0)
+            best = min(best, times[-1])
+        if tag:
+            trial_log[tag] = [round(t * 1000, 2) for t in times]
         return best
 
-    floor_s = timed(
-        floor_op,
-        [(jnp.asarray(np.random.randn(64, 64), jnp.float32) + i,)
-         for i in range(4)],
-        args.trials)
+    floor_packs = [(jnp.asarray(np.random.randn(64, 64), jnp.float32) + i,)
+                   for i in range(4)]
+    floor_s = timed(floor_op, floor_packs, args.trials, tag="floor")
 
     e2e_packs = [(variables, ivoc_params, speakers, jnp.asarray(t),
                   jnp.asarray(l)) for t, l in packs]
@@ -208,8 +211,29 @@ def _main():
     mel_packs = [(variables, speakers, jnp.asarray(t), jnp.asarray(l))
                  for t, l in packs]
 
-    e2e_raw = timed(e2e_sum, e2e_packs, args.trials)
-    mel_raw = timed(mel_sum, mel_packs, args.trials)
+    e2e_raw = timed(e2e_sum, e2e_packs, args.trials, tag="e2e")
+    # the acoustic-alone number regressed spuriously in BENCH_r02 (27.2 ms
+    # vs the true ~13 ms — a transient relay/contention artifact, see
+    # docs/benchmarks.md "r2 regression post-mortem"); guard with extra
+    # trials, a floor re-measure, and resolved-backend logging
+    mel_raw = timed(mel_sum, mel_packs, max(args.trials, 5), tag="acoustic")
+    floor_s = min(floor_s, timed(floor_op, floor_packs, args.trials))
+
+    # report which kernel backends 'auto' actually resolved to at the
+    # bench shapes so a silent XLA fallback is visible in the record
+    from fastspeech2_tpu.ops.pallas_attention import _fits_vmem
+    from fastspeech2_tpu.ops.pallas_ffn import ffn_fits_vmem
+
+    on_tpu = jax.default_backend() == "tpu"
+    d_head = cfg.encoder_hidden // cfg.encoder_head
+    resolved = {
+        "attention": ("pallas" if on_tpu and _fits_vmem(T, d_head, jnp.bfloat16)
+                      else "xla"),
+        "ffn": ("pallas" if on_tpu and ffn_fits_vmem(
+            T, cfg.encoder_hidden, cfg.conv_filter_size,
+            cfg.conv_kernel_size[0], cfg.conv_kernel_size[1], jnp.bfloat16)
+            else "xla"),
+    }
 
     # checkpoint the primary metric NOW: the extras below compile three
     # more large graphs (parity vocoder, C8C2I, train step), and if an
@@ -240,6 +264,8 @@ def _main():
             "device": str(jax.devices()[0]),
             "vocoder": "HiFi-GAN-iSTFT (fast variant)",
             "weights": weights,
+            "resolved_backends": resolved,
+            "trial_ms": trial_log,
             "partial": "extras still measuring; final line follows",
         },
     }

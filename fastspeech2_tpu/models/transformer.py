@@ -152,21 +152,12 @@ class ConvFeedForward(nn.Module):
             backend = ("pallas" if jax.default_backend() == "tpu"
                        else "xla")
         if backend == "pallas":
-            # VMEM guard with the kernel's real working set at x.dtype:
-            # in/out tiles, both weight tensors, both padded scratch
-            # buffers (pallas_ffn scratch_shapes), plus the fp32 [L, H]
-            # conv1 accumulator and fp32 [L, D] pre-LN activation
-            L, D, H = x.shape[1], self.d_model, self.d_inner
-            k1, k2 = self.kernel_size
-            isz = jnp.dtype(x.dtype).itemsize
-            est = (isz * (4 * L * D                 # io tiles, 2x buffered
-                          + k1 * D * H + k2 * H * D  # weights
-                          + (L + k1 - 1) * D         # xpad scratch
-                          + (L + k2 - 1) * H)        # hpad scratch
-                   + 4 * (L * H + L * D))            # fp32 acc + y
-            # 14 MB of ~16 MB/core: the bf16 [32, 896, 256->1024] shape
-            # (~13.5 MB by this estimate) is measured-good on v5e
-            if est > 14 * 1024 * 1024:
+            from fastspeech2_tpu.ops.pallas_ffn import ffn_fits_vmem
+
+            L = x.shape[1]
+            if not ffn_fits_vmem(L, self.d_model, self.d_inner,
+                                 self.kernel_size[0], self.kernel_size[1],
+                                 x.dtype):
                 backend = "xla"
         if deterministic and backend in ("pallas", "pallas_interpret"):
             from fastspeech2_tpu.ops.pallas_ffn import fused_conv_ffn

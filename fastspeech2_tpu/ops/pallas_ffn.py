@@ -22,6 +22,21 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def ffn_fits_vmem(L, D, H, k1, k2, dtype, budget=14 * 1024 * 1024):
+    """VMEM guard for the fused kernel's real working set at ``dtype``:
+    in/out tiles (2x buffered), both weight tensors, both padded scratch
+    buffers, plus the fp32 [L, H] conv1 accumulator and fp32 [L, D] pre-LN
+    activation.  14 MB of ~16 MB/core: the bf16 [32, 896, 256->1024] shape
+    (~13.3 MiB by this estimate) is measured-good on v5e."""
+    isz = jnp.dtype(dtype).itemsize
+    est = (isz * (4 * L * D                 # io tiles, 2x buffered
+                  + k1 * D * H + k2 * H * D  # weights
+                  + (L + k1 - 1) * D         # xpad scratch
+                  + (L + k2 - 1) * H)        # hpad scratch
+           + 4 * (L * H + L * D))            # fp32 acc + y
+    return est <= budget
+
+
 def xla_conv_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias):
     """Reference implementation (also the backward path).
 
