@@ -387,10 +387,15 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
 
     scan_step = int(train_config["step"].get("scan_step", 1))
     if scan_step > 1:
+        # scan mode stacks the whole epoch in HBM; cap its share so the
+        # params/opt-state/activations still fit (fallback: per-step path)
+        scan_budget_mb = float(
+            train_config["step"].get("scan_hbm_budget_mb", 8192))
         state, step = _train_scanned(
             scan_step, state, step, total_step, steps, loader,
             host_model_batch, acc, model, cfg, optimizer, optim_cfg, mesh,
-            state_shardings, replicated, rng, run_duties, preempted, log)
+            state_shardings, replicated, rng, run_duties, preempted, log,
+            hbm_budget_bytes=int(scan_budget_mb * 1024 * 1024))
 
     while step < total_step and not preempted.is_set():
         for batch, device_batch in PrefetchIterator(
@@ -424,7 +429,7 @@ def train(preprocess_config, model_config, train_config, restore_step=0,
 def _train_scanned(scan_step, state, step, total_step, steps, loader,
                    host_model_batch, acc, model, cfg, optimizer, optim_cfg,
                    mesh, state_shardings, replicated, rng, run_duties,
-                   preempted, log):
+                   preempted, log, hbm_budget_bytes=8 << 30):
     """Device-resident scanned training (train.yaml `step: scan_step: K`).
 
     Per-step dispatch through a relay-attached TPU costs far more than the
@@ -455,9 +460,25 @@ def _train_scanned(scan_step, state, step, total_step, steps, loader,
         log("scan_step incompatible with duty periods; using per-step path")
         return state, step
 
+    # Fallback policy (docs/tpu_notes.md "scan-mode scale limits"): the
+    # stacked epoch must fit the configured HBM share
+    # (step.scan_hbm_budget_mb, default 8 GiB of the v5e's 16).  When it
+    # would not — real LJSpeech-scale corpora — use the streaming per-step
+    # path, which bounds device memory at one batch regardless of corpus
+    # size.  The budget check runs while the epoch is being gathered so an
+    # over-budget corpus aborts the gather early instead of exhausting
+    # host RAM on a doomed stack.
     groups = {}
+    stacked_bytes = 0
     for b in loader.epoch(0):
         mb = host_model_batch(b)
+        stacked_bytes += sum(np.asarray(v).nbytes for v in mb.values())
+        if stacked_bytes > hbm_budget_bytes:
+            log(f"scan mode disabled: stacked epoch exceeds the "
+                f"{hbm_budget_bytes / 2**20:.0f} MiB HBM budget "
+                f"(step.scan_hbm_budget_mb); falling back to the "
+                f"streaming per-step path")
+            return state, step
         sig = tuple(sorted(
             (k, tuple(v.shape), str(v.dtype)) for k, v in mb.items()))
         groups.setdefault(sig, {"model": [], "raw": []})
