@@ -92,6 +92,12 @@ def _main():
     parser.add_argument("--torch_ckpt", default=None,
                         help="reference FastSpeech2 .pth.tar: bench on "
                              "converted quality-bearing weights")
+    parser.add_argument("--native_ckpt", default=None,
+                        help="orbax checkpoint dir from train.py: bench on "
+                             "natively trained weights")
+    parser.add_argument("--native_step", type=int, default=-1,
+                        help="step to restore from --native_ckpt "
+                             "(-1 = latest)")
     args = parser.parse_args()
 
     import jax
@@ -135,6 +141,26 @@ def _main():
         variables = jax.tree_util.tree_map(
             jnp.asarray, fastspeech2_variables_from_torch(sd, cfg))
         weights = "converted"
+    elif args.native_ckpt and os.path.exists(args.native_ckpt):
+        from fastspeech2_tpu.configs.config import OptimConfig
+        from fastspeech2_tpu.training import TrainState, make_optimizer
+        from fastspeech2_tpu.training.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        step = (args.native_step if args.native_step >= 0
+                else latest_step(args.native_ckpt))
+        init_vars = jax.jit(
+            acoustic.init, static_argnames=("max_mel_len", "train"))(
+            {"params": rng, "dropout": rng},
+            speakers, jnp.asarray(packs[0][0]), jnp.asarray(packs[0][1]),
+            max_mel_len=T, train=False)
+        opt, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
+        state = restore_checkpoint(
+            args.native_ckpt, TrainState.create(init_vars, opt), step)
+        variables = state.variables()
+        weights = f"native@{step}"
     else:
         variables = jax.jit(
             acoustic.init, static_argnames=("max_mel_len", "train"))(

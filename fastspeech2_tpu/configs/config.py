@@ -165,6 +165,10 @@ class OptimConfig:
     warm_up_step: int = 4000
     anneal_steps: Sequence[int] = (300000, 400000, 500000)
     anneal_rate: float = 0.3
+    # "bfloat16" stores Adam's first moment in bf16, halving its HBM
+    # traffic share of the (memory-bound, ~1.7 ms) optimizer step —
+    # docs/tpu_notes.md "MFU ceiling".  Default fp32 = reference parity.
+    mu_dtype: str = "float32"
 
     @staticmethod
     def build_batch_size(train_config):
@@ -183,6 +187,7 @@ class OptimConfig:
             warm_up_step=int(o["warm_up_step"]),
             anneal_steps=tuple(o["anneal_steps"]),
             anneal_rate=float(o["anneal_rate"]),
+            mu_dtype=str(o.get("mu_dtype", "float32")),
         )
 
 

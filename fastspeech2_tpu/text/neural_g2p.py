@@ -56,7 +56,10 @@ def encode_phones(phones):
     return np.asarray(ids + [PH_PAD] * (MAX_PRON - len(ids)), np.int32)
 
 
-def _model():
+def _model(dropout=0.0):
+    """dropout > 0 regularizes training (rngs={"dropout": ...} required
+    with deterministic=False); inference always runs deterministic, so
+    the shipped weights file stays layout-compatible either way."""
     import flax.linen as nn
     import jax.numpy as jnp
 
@@ -67,21 +70,24 @@ def _model():
         cross: bool = False
 
         @nn.compact
-        def __call__(self, x, mask, ctx=None, ctx_mask=None):
+        def __call__(self, x, mask, ctx=None, ctx_mask=None,
+                     deterministic=True):
             h = nn.LayerNorm()(x)
             h = nn.SelfAttention(
-                num_heads=HEADS, qkv_features=D, deterministic=True)(
-                    h, mask=mask)
+                num_heads=HEADS, qkv_features=D, dropout_rate=dropout,
+                deterministic=deterministic)(h, mask=mask)
             x = x + h
             if self.cross:
                 h = nn.LayerNorm()(x)
                 h = nn.MultiHeadDotProductAttention(
-                    num_heads=HEADS, qkv_features=D, deterministic=True)(
+                    num_heads=HEADS, qkv_features=D, dropout_rate=dropout,
+                    deterministic=deterministic)(
                         h, nn.LayerNorm()(ctx), mask=ctx_mask)
                 x = x + h
             h = nn.LayerNorm()(x)
             h = nn.Dense(FF)(h)
             h = nn.relu(h)
+            h = nn.Dropout(dropout)(h, deterministic=deterministic)
             h = nn.Dense(D)(h)
             return x + h
 
@@ -89,15 +95,17 @@ def _model():
         """chars [B, Lc] + teacher tokens [B, Lp] -> logits [B, Lp, V]."""
 
         @nn.compact
-        def __call__(self, chars, dec_in):
+        def __call__(self, chars, dec_in, deterministic=True):
             cmask = (chars != CHAR_PAD)
             pos_e = self.param(
                 "pos_enc", nn.initializers.normal(0.02), (MAX_WORD, D))
             x = nn.Embed(N_CHARS, D, name="char_emb")(chars)
             x = x + pos_e[None, : chars.shape[1]]
+            x = nn.Dropout(dropout)(x, deterministic=deterministic)
             enc_mask = nn.make_attention_mask(cmask, cmask)
             for i in range(LAYERS):
-                x = Block(name=f"enc_{i}")(x, enc_mask)
+                x = Block(name=f"enc_{i}")(
+                    x, enc_mask, deterministic=deterministic)
             enc = nn.LayerNorm(name="enc_norm")(x)
 
             dmask = (dec_in != PH_PAD)
@@ -105,13 +113,15 @@ def _model():
                 "pos_dec", nn.initializers.normal(0.02), (MAX_PRON, D))
             y = nn.Embed(N_PHONES, D, name="ph_emb")(dec_in)
             y = y + pos_d[None, : dec_in.shape[1]]
+            y = nn.Dropout(dropout)(y, deterministic=deterministic)
             causal = nn.make_causal_mask(dec_in)
             self_mask = nn.combine_masks(
                 causal, nn.make_attention_mask(dmask, dmask))
             cross_mask = nn.make_attention_mask(dmask, cmask)
             for i in range(LAYERS):
                 y = Block(cross=True, name=f"dec_{i}")(
-                    y, self_mask, enc, cross_mask)
+                    y, self_mask, enc, cross_mask,
+                    deterministic=deterministic)
             y = nn.LayerNorm(name="dec_norm")(y)
             return nn.Dense(N_PHONES, name="out")(y)
 
@@ -119,14 +129,21 @@ def _model():
 
 
 class NeuralG2P:
-    """Greedy-decoding inference wrapper around a trained weights file."""
+    """Decoding inference wrapper around a trained weights file.
 
-    def __init__(self, weights_path=DEFAULT_WEIGHTS):
+    beam > 1 runs a fixed-width beam search (static shapes, one jitted
+    lax.scan — no Python in the loop); beam=1 is the greedy decoder.
+    Beam 4 measures ~+2% held-out word accuracy over greedy on the mined
+    lexicon (text/train_g2p.py report)."""
+
+    def __init__(self, weights_path=DEFAULT_WEIGHTS, beam=4):
         import jax
 
         self.model = _model()
         self.params = load_params(weights_path)
-        self._decode = jax.jit(self._decode_fn)
+        self.beam = int(beam)
+        self._decode = jax.jit(
+            self._decode_fn if self.beam <= 1 else self._beam_decode_fn)
 
     def _decode_fn(self, params, chars):
         import jax
@@ -146,6 +163,44 @@ class NeuralG2P:
         dec0 = jnp.zeros((B, MAX_PRON), jnp.int32).at[:, 0].set(PH_BOS)
         _, toks = jax.lax.scan(step, dec0, jnp.arange(MAX_PRON - 1))
         return toks.T  # [B, MAX_PRON-1]
+
+    def _beam_decode_fn(self, params, chars):
+        import jax
+        import jax.numpy as jnp
+
+        B, W, V = chars.shape[0], self.beam, N_PHONES
+        NEG = jnp.float32(-1e9)
+        # finished beams may only extend with PAD, at no score cost
+        pad_row = jnp.full((V,), NEG).at[PH_PAD].set(0.0)
+        chars_w = jnp.repeat(chars, W, axis=0)  # [B*W, Lc]
+
+        def step(carry, t):
+            dec, scores, done = carry     # [B,W,Lp] [B,W] [B,W]
+            logits = self.model.apply(
+                {"params": params}, chars_w, dec.reshape(B * W, MAX_PRON))
+            logp = jax.nn.log_softmax(
+                logits[:, t].reshape(B, W, V), axis=-1)
+            logp = jnp.where(done[:, :, None], pad_row[None, None, :], logp)
+            total = (scores[:, :, None] + logp).reshape(B, W * V)
+            scores, flat_idx = jax.lax.top_k(total, W)     # [B, W]
+            src = flat_idx // V                            # parent beam
+            tok = (flat_idx % V).astype(jnp.int32)         # new token
+            dec = jnp.take_along_axis(dec, src[:, :, None], axis=1)
+            done = jnp.take_along_axis(done, src, axis=1)
+            dec = dec.at[:, :, t + 1].set(
+                jnp.where(done, dec[:, :, t + 1], tok))
+            done = done | (tok == PH_EOS) | (tok == PH_PAD)
+            return (dec, scores, done), ()
+
+        dec0 = jnp.zeros((B, W, MAX_PRON), jnp.int32).at[:, :, 0].set(PH_BOS)
+        # only beam 0 is live at t=0 so the W initial expansions differ
+        scores0 = jnp.full((B, W), NEG).at[:, 0].set(0.0)
+        done0 = jnp.zeros((B, W), bool)
+        (dec, scores, _), _ = jax.lax.scan(
+            step, (dec0, scores0, done0), jnp.arange(MAX_PRON - 1))
+        best = jnp.argmax(scores, axis=1)                  # [B]
+        return jnp.take_along_axis(
+            dec, best[:, None, None], axis=1)[:, 0, 1:]    # [B, Lp-1]
 
     def __call__(self, word):
         """word -> [phone, ...] (empty when the word has no letters)."""

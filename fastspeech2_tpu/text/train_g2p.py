@@ -53,6 +53,58 @@ def split_pairs(pairs, heldout, seed=0):
     return train, held
 
 
+# English suffix phonology for data augmentation (conservative subset:
+# only spellings formed by plain concatenation / silent-e handling, no
+# consonant doubling).  Segment classes by final phone (stress stripped).
+_VOICELESS = {"P", "T", "K", "F", "TH"}
+_SIBILANT = {"S", "Z", "SH", "CH", "JH", "ZH"}
+
+
+def augment_pairs(train_pairs, exclude_words):
+    """Derive suffixed forms (plural/3rd-person -s/-es, -ing, -ed, -ly)
+    from TRAIN-split bases with rule-derived pronunciations.  Surface
+    forms already in the lexicon or in the held-out set are excluded, so
+    augmentation can neither duplicate supervised entries nor leak
+    held-out answers.  The stress pattern of the base carries over
+    unchanged (these suffixes are stress-neutral in English)."""
+    out = []
+    for word, phones, _, _ in train_pairs:
+        if not word.isalpha() or len(word) < 3 or not phones:
+            continue
+        last = phones[-1].rstrip("012")
+        cands = []
+        if last in _SIBILANT:
+            cands.append((word + "es", phones + ["IH0", "Z"]))
+        elif last in _VOICELESS:
+            cands.append((word + "s", phones + ["S"]))
+        elif not word.endswith("s"):
+            cands.append((word + "s", phones + ["Z"]))
+        ed = (["IH0", "D"] if last in {"T", "D"}
+              else ["T"] if last in _VOICELESS else ["D"])
+        if word[-1] == "e":
+            # silent-e concatenation: bake -> baking / baked
+            cands.append((word[:-1] + "ing", phones + ["IH0", "NG"]))
+            cands.append((word + "d", phones + ed))
+        elif word[-1] not in "aeiouy":
+            # skip CVC endings (consonant doubling: stop -> stopped)
+            cvc = (len(word) >= 3 and word[-2] in "aeiou"
+                   and word[-3] not in "aeiou")
+            if not cvc:
+                cands.append((word + "ing", phones + ["IH0", "NG"]))
+                cands.append((word + "ed", phones + ed))
+        if word[-1] not in "aeiou" and last != "L" and not word.endswith(
+                "ly"):
+            cands.append((word + "ly", phones + ["L", "IY0"]))
+        for w, ph in cands:
+            if w in exclude_words or len(w) > 28 or len(ph) > MAX_PRON - 1:
+                continue
+            c = encode_word(w)
+            if c is None:
+                continue
+            out.append((w, ph, c, encode_phones(ph)))
+    return out
+
+
 def phone_error_rate(ref, hyp):
     """Levenshtein distance over phone tokens / len(ref)."""
     m, n = len(ref), len(hyp)
@@ -88,7 +140,8 @@ def evaluate(decode_fn, held, label):
 
 
 def train(lexicon_path, out_path, *, heldout=500, epochs=300,
-          batch_size=512, lr=1e-3, seed=0, log=print):
+          batch_size=512, lr=1e-3, seed=0, dropout=0.0, augment=False,
+          avg_frac=0.0, log=print):
     import jax
     import jax.numpy as jnp
     import optax
@@ -97,6 +150,12 @@ def train(lexicon_path, out_path, *, heldout=500, epochs=300,
     train_pairs, held = split_pairs(pairs, heldout, seed)
     log(f"lexicon: {len(pairs)} usable entries "
         f"({len(train_pairs)} train / {len(held)} held out)")
+    if augment:
+        exclude = ({w for w, _, _, _ in pairs}
+                   | {w for w, _, _, _ in held})
+        aug = augment_pairs(train_pairs, exclude)
+        log(f"augmentation: +{len(aug)} rule-derived suffixed forms")
+        train_pairs = train_pairs + aug
 
     chars = jnp.asarray(np.stack([c for _, _, c, _ in train_pairs]))
     targets = np.stack([t for _, _, _, t in train_pairs])
@@ -108,9 +167,11 @@ def train(lexicon_path, out_path, *, heldout=500, epochs=300,
     N = len(train_pairs)
     steps_per_epoch = N // batch_size
 
-    model = _model()
-    params = model.init(jax.random.PRNGKey(seed), chars[:2], dec_in[:2])[
-        "params"]
+    model = _model(dropout=dropout)
+    params = model.init(
+        {"params": jax.random.PRNGKey(seed),
+         "dropout": jax.random.PRNGKey(seed + 1)},
+        chars[:2], dec_in[:2])["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"G2P params: {n_params}")
 
@@ -119,8 +180,10 @@ def train(lexicon_path, out_path, *, heldout=500, epochs=300,
                       weight_decay=1e-4)
     opt_state = opt.init(params)
 
-    def loss_fn(params, c, di, tg):
-        logits = model.apply({"params": params}, c, di)
+    def loss_fn(params, c, di, tg, drng):
+        logits = model.apply({"params": params}, c, di,
+                             deterministic=dropout == 0.0,
+                             rngs={"dropout": drng})
         mask = (tg != PH_PAD)
         ls = optax.softmax_cross_entropy(
             logits, optax.smooth_labels(
@@ -128,45 +191,67 @@ def train(lexicon_path, out_path, *, heldout=500, epochs=300,
         return (ls * mask).sum() / mask.sum()
 
     @jax.jit
-    def epoch_fn(params, opt_state, order):
+    def epoch_fn(params, opt_state, order, drng):
         """One epoch: scan over [steps, batch] index schedule in-graph."""
 
-        def body(carry, idx):
+        def body(carry, xs):
             params, opt_state = carry
+            idx, i = xs
             c = jnp.take(chars, idx, axis=0)
             di = jnp.take(dec_in, idx, axis=0)
             tg = jnp.take(targets, idx, axis=0)
-            loss, grads = jax.value_and_grad(loss_fn)(params, c, di, tg)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, c, di, tg, jax.random.fold_in(drng, i))
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), order)
+            body, (params, opt_state),
+            (order, jnp.arange(order.shape[0])))
         return params, opt_state, losses.mean()
 
     rng = np.random.RandomState(seed)
     t0 = time.time()
+    # Polyak averaging over the tail of training: running mean of
+    # epoch-end params across the final avg_frac of epochs
+    avg_start = epochs - int(epochs * avg_frac)
+    avg_params, avg_n = None, 0
     for ep in range(1, epochs + 1):
         order = rng.permutation(N)[: steps_per_epoch * batch_size]
         order = jnp.asarray(
             order.reshape(steps_per_epoch, batch_size).astype(np.int32))
-        params, opt_state, mean_loss = epoch_fn(params, opt_state, order)
+        params, opt_state, mean_loss = epoch_fn(
+            params, opt_state, order,
+            jax.random.fold_in(jax.random.PRNGKey(seed + 2), ep))
+        if avg_frac > 0 and ep > avg_start:
+            avg_n += 1
+            if avg_params is None:
+                avg_params = params
+            else:
+                w = 1.0 / avg_n
+                avg_params = jax.tree_util.tree_map(
+                    lambda a, p: a + w * (p - a), avg_params, params)
         if ep % 25 == 0 or ep == epochs:
             log(f"epoch {ep}/{epochs}: loss={float(mean_loss):.4f} "
                 f"({time.time() - t0:.1f}s)")
 
+    if avg_params is not None:
+        params = avg_params
+        log(f"Polyak-averaged the last {avg_n} epoch-end params")
     save_params(out_path, params)
     log(f"weights -> {out_path}")
 
     if not held:
         return None
 
-    # ---- held-out evaluation: neural vs rule engine ----
+    # ---- held-out evaluation: neural (greedy + beam) vs rule engine ----
     from fastspeech2_tpu.text.neural_g2p import NeuralG2P
 
-    neural = NeuralG2P(out_path)
-    scores = evaluate(neural.batch, held, "neural")
+    greedy = NeuralG2P(out_path, beam=1)
+    evaluate(greedy.batch, held, "neural greedy")
+    beam = NeuralG2P(out_path, beam=4)
+    scores = evaluate(beam.batch, held, "neural beam4")
 
     from fastspeech2_tpu.text.letter_to_sound import letter_to_sound
 
@@ -184,9 +269,17 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--augment", action="store_true",
+                   help="add rule-derived suffixed forms to training")
+    p.add_argument("--avg_frac", type=float, default=0.0,
+                   help="Polyak-average epoch-end params over this final "
+                        "fraction of epochs")
     args = p.parse_args(argv)
     train(args.lexicon, args.out, heldout=args.heldout, epochs=args.epochs,
-          batch_size=args.batch_size, lr=args.lr, seed=args.seed)
+          batch_size=args.batch_size, lr=args.lr, seed=args.seed,
+          dropout=args.dropout, augment=args.augment,
+          avg_frac=args.avg_frac)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,10 @@ def make_optimizer(optim_config: OptimConfig, d_model: int):
             b1=optim_config.betas[0],
             b2=optim_config.betas[1],
             eps=optim_config.eps,
+            # bf16 first moment (optimizer.mu_dtype in train.yaml) halves
+            # m's share of the memory-bound update; nu stays fp32 (its
+            # rsqrt is precision-sensitive).  Default fp32 = parity.
+            mu_dtype=jnp.dtype(optim_config.mu_dtype),
         ),
     ]
     if optim_config.weight_decay:

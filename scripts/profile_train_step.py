@@ -139,8 +139,11 @@ def main():
                   for k in ("flops", "bytes accessed")}
         except Exception:
             pass
-        flops = ca.get("flops", 0.0) / SCAN
-        bytes_ = ca.get("bytes accessed", 0.0) / SCAN
+        # MEASUREMENT TRAP (verified): XLA cost_analysis reports a
+        # lax.scan body ONCE, independent of trip count — flops/bytes
+        # below are already per-iteration; only the TIME divides by SCAN
+        flops = ca.get("flops", 0.0)
+        bytes_ = ca.get("bytes accessed", 0.0)
         sol_flops = flops / PEAK_FLOPS
         sol_bytes = bytes_ / (hbm_bw * 1e9)
         sol = max(sol_flops, sol_bytes)
@@ -254,7 +257,12 @@ def main():
             return (params, opt_state), ()
         (params, _), _ = jax.lax.scan(
             body, (state.params, state.opt_state), jnp.arange(SCAN))
-        return jnp.sum(params["mel_linear"]["Dense_0"]["bias"])
+        # consume EVERY leaf: Adam's per-leaf chains are independent, so
+        # probing a single bias would let XLA dead-code-eliminate the
+        # other 35M params' updates (measured: 0.16 ms/step, an
+        # impossible >3 TB/s — vs the honest ~1.2 ms)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), params, 0.0)
 
     scan_time("adam_only", adam_scan,
               [(state, grads0),
