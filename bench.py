@@ -95,6 +95,9 @@ def _main():
     parser.add_argument("--native_ckpt", default=None,
                         help="orbax checkpoint dir from train.py: bench on "
                              "natively trained weights")
+    parser.add_argument("--weights_npz", default=None,
+                        help="fp16 npz snapshot (scripts/save_weights_npz"
+                             ".py): bench on tracked trained weights")
     parser.add_argument("--native_step", type=int, default=-1,
                         help="step to restore from --native_ckpt "
                              "(-1 = latest)")
@@ -141,6 +144,12 @@ def _main():
         variables = jax.tree_util.tree_map(
             jnp.asarray, fastspeech2_variables_from_torch(sd, cfg))
         weights = "converted"
+    elif args.weights_npz and os.path.exists(args.weights_npz):
+        from fastspeech2_tpu.utils.params_io import load_variables_npz
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, load_variables_npz(args.weights_npz))
+        weights = f"npz:{os.path.basename(args.weights_npz)}"
     elif args.native_ckpt and os.path.exists(args.native_ckpt):
         from fastspeech2_tpu.configs.config import OptimConfig
         from fastspeech2_tpu.training import TrainState, make_optimizer

@@ -27,15 +27,23 @@ def dtype_from_flag(name):
 
 
 def load_model_for_inference(configs, restore_step=0, torch_ckpt=None,
-                             dtype=jnp.float32):
-    """Build FastSpeech2 + variables from an orbax checkpoint (ours) or a
-    torch .pth.tar (reference format, converted on the fly)."""
+                             dtype=jnp.float32, weights_npz=None):
+    """Build FastSpeech2 + variables from an orbax checkpoint (ours), a
+    torch .pth.tar (reference format, converted on the fly), or a tracked
+    fp16 npz snapshot (scripts/save_weights_npz.py)."""
     from fastspeech2_tpu.configs.config import FastSpeech2Config
     from fastspeech2_tpu.models import FastSpeech2
 
     preprocess_config, model_config, train_config = configs
     cfg = FastSpeech2Config.build(preprocess_config, model_config)
     model = FastSpeech2(cfg, dtype=dtype)
+
+    if weights_npz:
+        from fastspeech2_tpu.utils.params_io import load_variables_npz
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, load_variables_npz(weights_npz))
+        return model, variables, cfg
 
     if torch_ckpt:
         import torch

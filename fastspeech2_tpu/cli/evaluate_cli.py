@@ -18,6 +18,9 @@ def main(argv=None):
     parser.add_argument("--restore_step", type=int, default=0)
     add_config_args(parser)
     parser.add_argument("--torch_ckpt", type=str, default=None)
+    parser.add_argument("--weights_npz", type=str, default=None,
+                        help="tracked fp16 npz snapshot "
+                             "(scripts/save_weights_npz.py)")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
     parser.add_argument("--synth", action="store_true",
@@ -48,7 +51,7 @@ def main(argv=None):
     preprocess_config, model_config, train_config = configs
     model, variables, cfg = load_model_for_inference(
         configs, args.restore_step, args.torch_ckpt,
-        dtype_from_flag(args.dtype))
+        dtype_from_flag(args.dtype), weights_npz=args.weights_npz)
 
     from fastspeech2_tpu.configs.config import OptimConfig
     from fastspeech2_tpu.data import FeatureDataset

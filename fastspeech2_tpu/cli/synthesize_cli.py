@@ -34,6 +34,9 @@ def main(argv=None):
                              "F0/energy value, so 1.2 means +20%% Hz")
     parser.add_argument("--torch_ckpt", type=str, default=None,
                         help="reference-format .pth.tar checkpoint")
+    parser.add_argument("--weights_npz", type=str, default=None,
+                        help="tracked fp16 npz snapshot "
+                             "(scripts/save_weights_npz.py)")
     parser.add_argument("--vocoder_ckpt", type=str, default=None,
                         help="torch HiFi-GAN generator checkpoint")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -52,7 +55,7 @@ def main(argv=None):
     preprocess_config, model_config, train_config = configs
     model, variables, cfg = load_model_for_inference(
         configs, args.restore_step, args.torch_ckpt,
-        dtype_from_flag(args.dtype))
+        dtype_from_flag(args.dtype), weights_npz=args.weights_npz)
 
     from fastspeech2_tpu.synthesis import Synthesizer, get_vocoder
 

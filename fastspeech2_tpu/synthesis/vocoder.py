@@ -198,7 +198,13 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
             if os.path.exists(candidate):
                 ckpt_path = candidate
         params = None
-        if ckpt_path and os.path.isdir(ckpt_path):
+        if ckpt_path and ckpt_path.endswith(".npz"):
+            # tracked fp16 snapshot (scripts/save_weights_npz.py)
+            from fastspeech2_tpu.utils.params_io import load_variables_npz
+
+            params = jax.tree_util.tree_map(
+                jnp.asarray, load_variables_npz(ckpt_path))
+        elif ckpt_path and os.path.isdir(ckpt_path):
             # native checkpoint: an orbax step dir written by
             # train_vocoder (training/vocoder.py save_checkpoint);
             # restore the raw pytree and pick the generator params
@@ -223,6 +229,11 @@ def get_vocoder(model_config, preprocess_config, ckpt_path=None):
                     len(config["resblock_kernel_sizes"])))
         return HiFiGANVocoder(params, config)
     if name == "MelGAN":
+        if ckpt_path and ckpt_path.endswith(".npz"):
+            from fastspeech2_tpu.utils.params_io import load_variables_npz
+
+            return MelGANVocoder(params=jax.tree_util.tree_map(
+                jnp.asarray, load_variables_npz(ckpt_path)))
         if ckpt_path and os.path.isdir(ckpt_path):
             # native orbax step dir from train_vocoder
             # (config_melgan.json recipe)
