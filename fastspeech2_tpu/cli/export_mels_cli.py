@@ -31,6 +31,9 @@ def main(argv=None):
     parser.add_argument("--restore_step", type=int, default=0)
     add_config_args(parser)
     parser.add_argument("--torch_ckpt", type=str, default=None)
+    parser.add_argument("--weights_npz", type=str, default=None,
+                        help="load weights from an fp16 npz snapshot "
+                             "(scripts/save_weights_npz.py)")
     parser.add_argument("--split", default="train.txt")
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -41,7 +44,7 @@ def main(argv=None):
     preprocess_config, model_config, train_config = configs
     model, variables, cfg = load_model_for_inference(
         configs, args.restore_step, args.torch_ckpt,
-        dtype_from_flag(args.dtype))
+        dtype_from_flag(args.dtype), weights_npz=args.weights_npz)
 
     import jax
     import jax.numpy as jnp
