@@ -103,6 +103,16 @@ def _main():
                              "(-1 = latest)")
     args = parser.parse_args()
 
+    if not (args.torch_ckpt or args.weights_npz or args.native_ckpt):
+        # default to the tracked fp16 snapshot of the natively trained
+        # acoustic model, so the driver's argless run benches on the same
+        # weights the quality numbers come from (random init otherwise)
+        default_npz = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "weights", "acoustic_LJSpeech10_100k.npz")
+        if os.path.exists(default_npz):
+            args.weights_npz = default_npz
+
     import jax
     import jax.numpy as jnp
 

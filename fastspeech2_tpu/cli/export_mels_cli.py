@@ -1,16 +1,25 @@
 """Export teacher-forced predicted mels for vocoder fine-tuning.
 
 Runs the trained acoustic model over a preprocessed corpus split with
-ground-truth durations/pitch/energy (so predicted mel frame i aligns with
-ground-truth waveform samples [i*hop, (i+1)*hop)) and writes
+ground-truth durations (so predicted mel frame i aligns with ground-truth
+waveform samples [i*hop, (i+1)*hop)) and writes
 <preprocessed_path>/mel_pred/<speaker>-mel-<basename>.npy files shaped
 [T, n_mels].  This is the standard HiFi-GAN fine-tuning recipe: train the
 vocoder on the acoustic model's actual output distribution instead of
 ground-truth mels.
 
+--teacher_force picks which variance targets are forced alongside the
+(always forced) durations: `pde` forces pitch+energy too — on a heavily
+overfit corpus those mels collapse onto the GT mels and carry no
+distribution shift — while `d` (default) lets the model predict pitch and
+energy, which is where the free-running drift actually lives (measured on
+LJSpeech10 @100k: mel MAE vs GT is 0.009 forced-pde but 0.256 forced-d,
+and forcing p or e alone recovers 0.055/0.067 — the drift is pitch+energy,
+not duration rounding).
+
 Usage:
     python export_mels.py -p ... -m ... -t ... --restore_step N \
-        [--split train.txt] [--batch_size 16]
+        [--split train.txt] [--batch_size 16] [--teacher_force {d,pde}]
 """
 
 import argparse
@@ -38,6 +47,12 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
+    parser.add_argument("--teacher_force", choices=["d", "pde"], default="d",
+                        help="variance targets forced besides durations: "
+                             "'d' predicts pitch/energy (captures the "
+                             "inference-time mel distribution), 'pde' "
+                             "forces them too (collapses onto GT mels on "
+                             "an overfit corpus)")
     args = parser.parse_args(argv)
 
     configs = read_configs(args)
@@ -60,11 +75,15 @@ def main(argv=None):
     text_bucket = int(bucket.get("text", 32))
     mel_bucket = int(bucket.get("mel", 160))
 
+    force_pe = args.teacher_force == "pde"
+
     @jax.jit
     def forward(speakers, texts, src_lens, mels, mel_lens, p, e, d):
         out = model.apply(
             variables, speakers, texts, src_lens, mels, mel_lens,
-            max_mel_len=mels.shape[1], p_targets=p, e_targets=e,
+            max_mel_len=mels.shape[1],
+            p_targets=p if force_pe else None,
+            e_targets=e if force_pe else None,
             d_targets=d, train=False)
         return out.postnet_mel
 
