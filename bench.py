@@ -356,7 +356,11 @@ def _main():
             make_train_step,
         )
 
-        optimizer, _ = make_optimizer(OptimConfig(), cfg.encoder_hidden)
+        # bf16 first moment: the documented MFU lever (docs/tpu_notes.md
+        # "MFU ceiling"; descent-parity pinned in tests/test_optim.py) —
+        # round 4 enables it in the bench recipe per the r3 verdict
+        optimizer, _ = make_optimizer(OptimConfig(mu_dtype="bfloat16"),
+                                      cfg.encoder_hidden)
         # moderate shapes keep the fwd+bwd remote compile under ~2 min;
         # throughput extrapolates linearly in frames (static-shape compute)
         tb, tp_, tt = 16, 128, 512

@@ -26,7 +26,8 @@ def build_server(args):
     preprocess_config, model_config, _ = configs
     model, variables, cfg = load_model_for_inference(
         configs, args.restore_step, args.torch_ckpt,
-        dtype_from_flag(args.dtype))
+        dtype_from_flag(args.dtype),
+        weights_npz=getattr(args, "weights_npz", None))
 
     from fastspeech2_tpu.serving import BatchingSynthesizer, TTSServer
     from fastspeech2_tpu.synthesis import Synthesizer, get_vocoder
@@ -58,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--restore_step", type=int, default=0)
     add_config_args(parser)
     parser.add_argument("--torch_ckpt", type=str, default=None)
+    parser.add_argument("--weights_npz", type=str, default=None,
+                        help="tracked fp16 npz snapshot "
+                             "(scripts/save_weights_npz.py)")
     parser.add_argument("--vocoder_ckpt", type=str, default=None)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")

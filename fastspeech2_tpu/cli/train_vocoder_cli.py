@@ -25,7 +25,17 @@ def main(argv=None):
                    help="preprocessed corpus path: fine-tune on aligned "
                         "(GT wav, mel) pairs (needs save_trimmed_wav at "
                         "preprocess time; 'pred' mels from export_mels.py)")
-    p.add_argument("--mel_source", choices=["pred", "gt"], default="pred")
+    p.add_argument("--mel_source", choices=["pred", "gt", "mixed"],
+                   default="pred",
+                   help="mel inputs for --finetune_from: acoustic-model "
+                        "predictions (pred), ground truth (gt), or a "
+                        "50/50 per-sample mix (mixed — holds "
+                        "copy-synthesis quality during GT-aligned "
+                        "fine-tuning)")
+    p.add_argument("--split", default=None, metavar="FILE",
+                   help="with --finetune_from: restrict training to the "
+                        "utterances named in this metadata file inside the "
+                        "corpus (e.g. train.txt) — leave-one-out protocol")
     p.add_argument("--config", default=None,
                    help="hifigan config.json (upstream schema)")
     p.add_argument("--total_steps", type=int, default=None)
@@ -36,6 +46,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=int, default=None,
                    help="shard the segment batch over N devices")
+    p.add_argument("--adv_warmup", type=int, default=0,
+                   help="freeze discriminators and train the generator on "
+                        "mel-L1 only for the first N steps (stabilizes "
+                        "variants that blow up from a cold start, e.g. "
+                        "C8C2I — docs/vocoder_training.md)")
+    p.add_argument("--learning_rate", type=float, default=None,
+                   help="override the config learning rate (both "
+                        "generator and discriminators)")
     p.add_argument("--mel_weight", type=float, default=None,
                    help="generator mel-L1 loss weight (default 45, "
                         "upstream HiFi-GAN); raise to trade adversarial "
@@ -86,17 +104,20 @@ def main(argv=None):
         batch_size=args.batch_size or cfg.get("batch_size", 16),
         segment_size=args.segment_size or cfg.get("segment_size", 8192),
         sampling_rate=cfg.get("sampling_rate", 22050),
-        learning_rate=cfg.get("learning_rate", 2e-4),
+        learning_rate=(args.learning_rate
+                       if args.learning_rate is not None
+                       else cfg.get("learning_rate", 2e-4)),
         lr_decay=cfg.get("lr_decay", 0.999),
         n_mel_channels=cfg.get("num_mels", 80),
         mel_fmax=cfg.get("fmax", 8000.0) or 8000.0,
         generator_config=gen_cfg or None,
         discriminator_config=disc_cfg,
         finetune_from=args.finetune_from,
-        mel_source=args.mel_source,
+        mel_source=args.mel_source, split=args.split,
         data_parallel=args.data_parallel, scan_step=args.scan_step,
         mel_weight=(args.mel_weight if args.mel_weight is not None
                     else cfg.get("mel_weight", 45.0)),
+        adv_warmup=args.adv_warmup,
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

@@ -141,13 +141,19 @@ def evaluate(decode_fn, held, label):
 
 def train(lexicon_path, out_path, *, heldout=500, epochs=300,
           batch_size=512, lr=1e-3, seed=0, dropout=0.0, augment=False,
-          avg_frac=0.0, log=print):
+          avg_frac=0.0, train_size=0, log=print):
     import jax
     import jax.numpy as jnp
     import optax
 
     pairs = load_pairs(lexicon_path)
     train_pairs, held = split_pairs(pairs, heldout, seed)
+    if train_size and train_size < len(train_pairs):
+        # learning-curve ablation: subsample the train set with a split
+        # INDEPENDENT of `seed` so every size sees the same held-out set
+        sub = np.random.RandomState(12345).permutation(
+            len(train_pairs))[:train_size]
+        train_pairs = [train_pairs[i] for i in sub]
     log(f"lexicon: {len(pairs)} usable entries "
         f"({len(train_pairs)} train / {len(held)} held out)")
     if augment:
@@ -275,11 +281,14 @@ def main(argv=None):
     p.add_argument("--avg_frac", type=float, default=0.0,
                    help="Polyak-average epoch-end params over this final "
                         "fraction of epochs")
+    p.add_argument("--train_size", type=int, default=0,
+                   help="subsample the train set to N entries (0 = all): "
+                        "learning-curve ablation, same held-out split")
     args = p.parse_args(argv)
     train(args.lexicon, args.out, heldout=args.heldout, epochs=args.epochs,
           batch_size=args.batch_size, lr=args.lr, seed=args.seed,
           dropout=args.dropout, augment=args.augment,
-          avg_frac=args.avg_frac)
+          avg_frac=args.avg_frac, train_size=args.train_size)
 
 
 if __name__ == "__main__":

@@ -93,7 +93,8 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
                             gen_opt, disc_opt,
                             mel_weight: float = 45.0,
                             external_mel: bool = False,
-                            gen_input_scale: float = 1.0):
+                            gen_input_scale: float = 1.0,
+                            adv_warmup: int = 0):
     """external_mel=False: the generator input mel is computed on device
     from the ground-truth segment (from-scratch training).  True: the step
     takes (wav, mel_in) — e.g. acoustic-model-predicted mels for
@@ -102,7 +103,12 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
     gen_input_scale rescales the generator INPUT mel only (the mel-L1
     target stays log-e): MelGAN consumes log10 mels by the reference's
     convention (utils/model.py:78), so its trainer passes 1/ln(10) and
-    natively trained params drop into MelGANVocoder unchanged."""
+    natively trained params drop into MelGANVocoder unchanged.
+
+    adv_warmup > 0: for the first N steps the generator trains on the
+    mel-L1 reconstruction loss only and the discriminators stay frozen —
+    the gentler recipe for variants (C8C2I) that blow up when the
+    adversarial game starts from a random generator."""
     hop = mel_fn.hop_length
 
     def mel_of(wav, n_frames):
@@ -134,6 +140,18 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
             d_grads, state.disc_opt_state, state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, d_updates)
 
+        if adv_warmup:
+            # warmup: hold discriminator params/opt-state at their old
+            # values (same compiled graph either side of the boundary)
+            in_warmup = state.step < adv_warmup
+            keep_old = lambda old, new: jax.tree_util.tree_map(  # noqa: E731
+                lambda o, n: jnp.where(in_warmup, o, n), old, new)
+            disc_params = keep_old(state.disc_params, disc_params)
+            disc_opt_state = keep_old(state.disc_opt_state, disc_opt_state)
+            adv_gate = 1.0 - in_warmup.astype(jnp.float32)
+        else:
+            adv_gate = 1.0
+
         # ---- generator update (through the updated discriminator) ----
         real_fmaps, _ = disc.apply({"params": disc_params}, wav)
         mel_target = mel_of(wav, n_frames)
@@ -144,7 +162,7 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
             adv = generator_adv_loss(fake_scores)
             fm = feature_loss(real_fmaps, fake_fmaps)
             mel_l1 = jnp.mean(jnp.abs(mel_of(y_g, n_frames) - mel_target))
-            total = adv + fm + mel_weight * mel_l1
+            total = adv_gate * (adv + fm) + mel_weight * mel_l1
             return total, (adv, fm, mel_l1)
 
         (g_loss, (adv, fm, mel_l1)), g_grads = jax.value_and_grad(
@@ -207,26 +225,48 @@ class FinetuneSampler:
     """
 
     def __init__(self, preprocessed_path, segment_size=8192, hop_length=256,
-                 mel_source="pred", seed=0):
+                 mel_source="pred", seed=0, split=None):
         import glob
 
         self.segment_size = segment_size
         self.hop = hop_length
         self.n_frames = segment_size // hop_length
-        mel_dir = "mel_pred" if mel_source == "pred" else "mel"
+        # "mixed" interleaves GT-mel and predicted-mel pairs 50/50 per
+        # batch element: the standard mitigation for GT-aligned
+        # fine-tuning's copy-synthesis regression (the generator keeps
+        # seeing clean mels while learning to invert predicted ones)
+        mel_dirs = {"pred": ["mel_pred"], "gt": ["mel"],
+                    "mixed": ["mel", "mel_pred"]}[mel_source]
+        allowed = None
+        if split:
+            # restrict to utterances named in a metadata file (e.g.
+            # train.txt) so held-out clips in the same feature dirs never
+            # enter training (leave-one-out protocol, scripts/leave_one_out.py)
+            allowed = set()
+            with open(os.path.join(preprocessed_path, split)) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("|")
+                    if len(parts) >= 2:
+                        allowed.add(f"{parts[1]}-wav-{parts[0]}.npy")
         self.pairs = []
-        for wav_path in sorted(glob.glob(
-                os.path.join(preprocessed_path, "wav", "*-wav-*.npy"))):
-            mel_path = os.path.join(
-                preprocessed_path, mel_dir,
-                os.path.basename(wav_path).replace("-wav-", "-mel-"))
-            if os.path.exists(mel_path):
-                self.pairs.append((wav_path, mel_path))
+        for mel_dir in mel_dirs:
+            for wav_path in sorted(glob.glob(
+                    os.path.join(preprocessed_path, "wav", "*-wav-*.npy"))):
+                if allowed is not None and \
+                        os.path.basename(wav_path) not in allowed:
+                    continue
+                mel_path = os.path.join(
+                    preprocessed_path, mel_dir,
+                    os.path.basename(wav_path).replace("-wav-", "-mel-"))
+                if os.path.exists(mel_path):
+                    self.pairs.append((wav_path, mel_path))
         if not self.pairs:
             raise FileNotFoundError(
-                f"no aligned wav/{mel_dir} pairs under {preprocessed_path} "
-                "(preprocess with save_trimmed_wav: true"
-                + (" and run export_mels.py" if mel_source == "pred" else "")
+                f"no aligned wav/{'|'.join(mel_dirs)} pairs under "
+                f"{preprocessed_path} (preprocess with save_trimmed_wav: "
+                "true"
+                + (" and run export_mels.py"
+                   if mel_source != "gt" else "")
                 + ")")
         self._rng = random.Random(seed)
         self._cache = {}
@@ -298,9 +338,10 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   log_step=100, save_step=1000, generator_config=None,
                   discriminator_config=None,
                   n_mel_channels=80, mel_fmax=8000.0, seed=0,
-                  finetune_from=None, mel_source="pred",
+                  finetune_from=None, mel_source="pred", split=None,
                   init_generator_params=None, data_parallel=None,
-                  scan_step=1, mel_weight=45.0, log=print):
+                  scan_step=1, mel_weight=45.0, adv_warmup=0,
+                  log=print):
     """Train (or smoke-train) the native HiFi-GAN generator.
 
     finetune_from: path to a preprocessed corpus — trains on aligned
@@ -348,7 +389,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
 
     if external_mel:
         sampler = FinetuneSampler(finetune_from, segment_size, hop,
-                                  mel_source, seed)
+                                  mel_source, seed, split=split)
         seg0, mel0 = sampler.sample(batch_size)
         seg0, mel0 = jnp.asarray(seg0), jnp.asarray(mel0)
     else:
@@ -408,12 +449,14 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
 
     step_fn = cached_jit(
         ("voc_train_step", gen, disc, mel_fn, learning_rate, lr_decay,
-         steps_per_epoch, external_mel, mel_weight, gen_input_scale),
+         steps_per_epoch, external_mel, mel_weight, gen_input_scale,
+         adv_warmup),
         lambda: jax.jit(
             make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                     mel_weight=mel_weight,
                                     external_mel=external_mel,
-                                    gen_input_scale=gen_input_scale),
+                                    gen_input_scale=gen_input_scale,
+                                    adv_warmup=adv_warmup),
             donate_argnums=0))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -424,7 +467,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             segment_size, hop, sampler, external_mel, gen, disc, mel_fn,
             gen_opt, disc_opt, learning_rate, lr_decay, steps_per_epoch,
             log_step, save_step, out_dir, data_parallel, seed, mel_weight,
-            gen_input_scale, log)
+            gen_input_scale, adv_warmup, log)
 
     for i in range(start_step + 1, total_steps + 1):
         if external_mel:
@@ -448,7 +491,7 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
                            disc_opt, learning_rate, lr_decay,
                            steps_per_epoch, log_step, save_step, out_dir,
                            data_parallel, seed, mel_weight,
-                           gen_input_scale, log):
+                           gen_input_scale, adv_warmup, log):
     """Device-resident scanned GAN training (see make_scanned_vocoder_step).
 
     The corpus must fit in HBM as a padded bank: N * L_max floats
@@ -506,11 +549,12 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
     inner = make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                     mel_weight=mel_weight,
                                     external_mel=external_mel,
-                                    gen_input_scale=gen_input_scale)
+                                    gen_input_scale=gen_input_scale,
+                                    adv_warmup=adv_warmup)
     scanned = cached_jit(
         ("voc_scanned_step", gen, disc, mel_fn, learning_rate, lr_decay,
          steps_per_epoch, external_mel, K, segment_size, mel_weight,
-         gen_input_scale),
+         gen_input_scale, adv_warmup),
         lambda: jax.jit(
             make_scanned_vocoder_step(inner, segment_size, hop,
                                       external_mel),

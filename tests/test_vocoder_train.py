@@ -465,3 +465,92 @@ def test_train_vocoder_melgan(tmp_path):
     wav = voc(jnp.zeros((1, 4, 8), jnp.float32))
     assert wav.shape == (1, 4 * 256)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_finetune_sampler_split_restriction(tmp_path):
+    """--split train.txt keeps held-out clips out of GAN training
+    (leave-one-out protocol, scripts/leave_one_out.py)."""
+    from fastspeech2_tpu.training.vocoder import FinetuneSampler
+
+    pre = tmp_path / "pre"
+    (pre / "wav").mkdir(parents=True)
+    (pre / "mel").mkdir()
+    names = ["utt_a", "utt_b", "utt_c"]
+    for n in names:
+        np.save(pre / "wav" / f"SPK-wav-{n}.npy",
+                np.zeros(2048, np.float32))
+        np.save(pre / "mel" / f"SPK-mel-{n}.npy",
+                np.zeros((8, 80), np.float32))
+    (pre / "train.txt").write_text(
+        "utt_a|SPK|{AH0}|a\nutt_c|SPK|{AH0}|c\n")
+
+    all_pairs = FinetuneSampler(str(pre), mel_source="gt")
+    assert len(all_pairs.pairs) == 3  # default: unrestricted (old behavior)
+
+    split = FinetuneSampler(str(pre), mel_source="gt", split="train.txt")
+    got = sorted(os.path.basename(w) for w, _ in split.pairs)
+    assert got == ["SPK-wav-utt_a.npy", "SPK-wav-utt_c.npy"]
+
+
+def test_finetune_sampler_mixed_source(tmp_path):
+    """mel_source='mixed' interleaves GT and predicted mel pairs 50/50."""
+    from fastspeech2_tpu.training.vocoder import FinetuneSampler
+
+    pre = tmp_path / "pre"
+    for d in ("wav", "mel", "mel_pred"):
+        (pre / d).mkdir(parents=True)
+    for n in ("utt_a", "utt_b"):
+        np.save(pre / "wav" / f"SPK-wav-{n}.npy",
+                np.zeros(2048, np.float32))
+        np.save(pre / "mel" / f"SPK-mel-{n}.npy",
+                np.zeros((8, 80), np.float32))
+        np.save(pre / "mel_pred" / f"SPK-mel-{n}.npy",
+                np.ones((8, 80), np.float32))
+
+    s = FinetuneSampler(str(pre), mel_source="mixed")
+    dirs = {os.path.basename(os.path.dirname(m)) for _, m in s.pairs}
+    assert dirs == {"mel", "mel_pred"}
+    assert len(s.pairs) == 4
+    # over many draws both sources appear
+    _, mels = s.sample(64)
+    maxes = mels.reshape(64, -1).max(1)
+    assert (maxes == 0).any() and (maxes == 1).any()
+
+
+def test_adv_warmup_freezes_discriminator():
+    """adv_warmup: discriminators frozen + generator trains on mel-L1 only
+    until the gate opens, then the full GAN objective resumes."""
+    rng = jax.random.PRNGKey(0)
+    gen, disc, mel_fn = _tiny_gen(), _tiny_disc(), _mel_fn()
+
+    t = np.arange(SEG) / 22050.0
+    wav = jnp.asarray(np.stack([
+        0.5 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)
+    ]).astype(np.float32))
+    mel0 = mel_fn(wav)[0][:, :, : SEG // 256].transpose(0, 2, 1)
+    gen_params = jax.jit(gen.init)(rng, mel0)["params"]
+    disc_params = jax.jit(disc.init)(rng, wav)["params"]
+    gen_opt, _ = make_vocoder_optimizer(2e-4)
+    disc_opt, _ = make_vocoder_optimizer(2e-4)
+    state = VocoderTrainState.create(gen_params, disc_params,
+                                     gen_opt, disc_opt)
+    step_fn = jax.jit(make_vocoder_train_step(
+        gen, disc, mel_fn, gen_opt, disc_opt, adv_warmup=2))
+
+    d0 = jax.device_get(state.disc_params)
+    state, losses0 = step_fn(state, wav)
+    # total generator loss during warmup is mel-only (gate = 0)
+    assert abs(float(losses0["gen"])
+               - 45.0 * float(losses0["gen_mel"])) < 1e-3
+    state, _ = step_fn(state, wav)
+    d2 = jax.device_get(state.disc_params)
+    leaves0 = jax.tree_util.tree_leaves(d0)
+    leaves2 = jax.tree_util.tree_leaves(d2)
+    assert all(np.array_equal(a, b) for a, b in zip(leaves0, leaves2))
+
+    # step 3: gate open — discriminator moves, adv/fm enter the loss
+    state, losses2 = step_fn(state, wav)
+    d3 = jax.device_get(state.disc_params)
+    assert not all(np.array_equal(a, b) for a, b in
+                   zip(leaves2, jax.tree_util.tree_leaves(d3)))
+    assert float(losses2["gen"]) > 45.0 * float(losses2["gen_mel"])
