@@ -284,7 +284,15 @@ def main(argv=None):
     p.add_argument("--train_size", type=int, default=0,
                    help="subsample the train set to N entries (0 = all): "
                         "learning-curve ablation, same held-out split")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform in-process (the environment "
+                        "overrides JAX_PLATFORMS; cpu lets curve runs "
+                        "proceed while the chip is busy)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     train(args.lexicon, args.out, heldout=args.heldout, epochs=args.epochs,
           batch_size=args.batch_size, lr=args.lr, seed=args.seed,
           dropout=args.dropout, augment=args.augment,

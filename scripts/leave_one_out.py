@@ -27,8 +27,9 @@ computed over all 10 clips.  Both are scalar/frame-count side channels,
 not audio or transcript content, and the held-out clip's features are
 never read during training.
 
-Usage:
-  PYTHONPATH=. python scripts/leave_one_out.py \
+Usage (from the repo root; do NOT set PYTHONPATH — it would shadow the
+environment's axon TPU plugin registration):
+  python scripts/leave_one_out.py \
       --folds LJ001-0012 LJ021-0108 LJ042-0094 \
       --acoustic_steps 40000 --voc_stage_a 20000 --voc_stage_b 10000
 """
