@@ -41,27 +41,13 @@ class MultiHeadSelfAttention(nn.Module):
     def __call__(self, x, key_pad_mask, deterministic=True):
         d_head = self.d_model // self.n_head
         residual = x
-        b, l, d_in = x.shape
+        b, l, _ = x.shape
 
-        # One fused d_in -> 3*d_model matmul instead of three narrow
-        # d_in -> d_model ones: the 256-wide projections are individually
-        # too small to fill the MXU lanes (per-op ledger, docs/tpu_notes.md
-        # round 4).  Params keep the reference tree (w_qs/w_ks/w_vs each
-        # holding Dense_0/{kernel,bias}) so torch converters, npz
-        # snapshots, and TP sharding rules are untouched; each output
-        # column of a dot is independent, so the concatenated matmul is
-        # bitwise-identical to the three separate ones.
-        ws, bs = zip(*(
-            _DenseParams(self.n_head * d_head, d_in, name=nm)()
-            for nm in ("w_qs", "w_ks", "w_vs")))
-        w_qkv = jnp.concatenate(ws, axis=1).astype(self.dtype)
-        b_qkv = jnp.concatenate(bs).astype(self.dtype)
-        qkv = x.astype(self.dtype) @ w_qkv + b_qkv
-
-        def heads(y):
+        def proj(name):
+            y = TorchDense(self.n_head * d_head, dtype=self.dtype, name=name)(x)
             return y.reshape(b, l, self.n_head, d_head).transpose(0, 2, 1, 3)
 
-        q, k, v = (heads(y) for y in jnp.split(qkv, 3, axis=-1))
+        q, k, v = proj("w_qs"), proj("w_ks"), proj("w_vs")
         if self.attention_backend == "xla":
             out = multi_head_attention(q, k, v, key_pad_mask,
                                        dtype=self.dtype)
@@ -74,36 +60,6 @@ class MultiHeadSelfAttention(nn.Module):
         out = TorchDense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return TorchLayerNorm(self.d_model, dtype=self.dtype)(out + residual)
-
-
-class _DenseParamsLeaf(nn.Module):
-    """Raw dense parameters under the same tree path nn.Dense would use."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        from fastspeech2_tpu.models.common import (
-            torch_bias_init,
-            torch_kernel_init,
-        )
-
-        kernel = self.param("kernel", torch_kernel_init,
-                            (self.in_features, self.features))
-        bias = self.param("bias", torch_bias_init(self.in_features),
-                          (self.features,))
-        return kernel, bias
-
-
-class _DenseParams(nn.Module):
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        return _DenseParamsLeaf(self.features, self.in_features,
-                                name="Dense_0")()
 
 
 class _ConvParamsLeaf(nn.Module):
