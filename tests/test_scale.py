@@ -176,7 +176,11 @@ def test_scan_mode_runs_within_budget(tmp_path):
     logs = []
     state = train(pre, model, train_cfg, dtype=jnp.float32,
                   log=lambda m, *a, **k: logs.append(str(m)))
-    assert int(state.step) == 8
     joined = "\n".join(logs)
-    assert "scan mode:" in joined and "device-resident" in joined
-    assert "scan mode disabled" not in joined
+    # the full log goes into the assertion message: a one-off full-suite
+    # failure once stopped at step 4 with no cause visible — if the loop
+    # ever exits early again (e.g. a stray SIGTERM flipping the
+    # preemption event), the "Received signal" log line will say so
+    assert int(state.step) == 8, f"stopped early; train log:\n{joined}"
+    assert "scan mode:" in joined and "device-resident" in joined, joined
+    assert "scan mode disabled" not in joined, joined
