@@ -180,7 +180,16 @@ def main(argv=None):
                         help="utterances used to fit the Gaussians; the "
                              "rest are aligned with the fitted model")
     parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX platform (e.g. 'cpu' to keep the "
+                             "chip free for a concurrent training run; the "
+                             "environment's sitecustomize overrides the "
+                             "JAX_PLATFORMS env var, so this must be set "
+                             "in-process before first device use)")
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     with open(args.config) as f:
         config = yaml.safe_load(f)
     align_corpus(config, phones_file=args.phones_file,

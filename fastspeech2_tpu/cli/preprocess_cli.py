@@ -23,7 +23,13 @@ def preprocess_main(argv=None):
     parser.add_argument("--phones_file", default=None,
                         help="with --align: metadata file supplying "
                              "known phone sequences")
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX platform (e.g. 'cpu' to keep the "
+                             "chip free for a concurrent training run)")
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     with open(args.config) as f:
         config = yaml.safe_load(f)
     if args.align:

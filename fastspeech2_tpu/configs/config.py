@@ -101,6 +101,18 @@ class FastSpeech2Config:
                 with open(stats_path) as f:
                     stats = json.load(f)
             else:
+                # Unit-range placeholder bins: fine for random-init tests and
+                # benchmarks, WRONG for trained weights (the variance adaptor
+                # quantizes pitch/energy against the corpus stats the weights
+                # were trained with).  Loud, because the failure mode is
+                # silently degraded prosody, not a crash.
+                import warnings
+                warnings.warn(
+                    f"stats.json not found under {pre_path!r}; using unit "
+                    "pitch/energy ranges. Synthesis/evaluation from TRAINED "
+                    "weights will mis-bin pitch and energy — regenerate the "
+                    "corpus artifacts (align.py + preprocess.py) first.",
+                    stacklevel=2)
                 stats = {"pitch": [0.0, 1.0], "energy": [0.0, 1.0]}
         multi = bool(model_config.get("multi_speaker", False))
         if n_speaker is None:
