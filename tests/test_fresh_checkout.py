@@ -30,6 +30,9 @@ TRACKED = [
     "preprocessed_data/LJSpeech10/stats.json",
     "preprocessed_data/LJSpeech10/speakers.json",
     "preprocessed_data/LJSpeech10/train.txt",
+    # alignment is platform-sensitive; the tracked weights' quality only
+    # reproduces under these exact TextGrids (docs/native_training.md)
+    "preprocessed_data/LJSpeech10/TextGrid/LJSpeech/LJ001-0012.TextGrid",
     "weights/acoustic_LJSpeech10_100k.npz",
     "weights/vocoder_gen_mixed60k.npz",
 ]
