@@ -58,6 +58,12 @@ def main(argv=None):
                    help="generator mel-L1 loss weight (default 45, "
                         "upstream HiFi-GAN); raise to trade adversarial "
                         "texture for spectral fidelity")
+    p.add_argument("--init_gen_npz", default=None, metavar="NPZ",
+                   help="warm-start the generator from a tracked fp16 npz "
+                        "snapshot (utils/params_io.py) — continues a run "
+                        "whose orbax checkpoints were not kept; ignored "
+                        "when out_dir already holds a checkpoint (resume "
+                        "wins)")
     p.add_argument("--scan_step", type=int, default=1,
                    help="run K GAN steps per dispatch over a "
                         "device-resident corpus bank (clamped to "
@@ -98,6 +104,12 @@ def main(argv=None):
 
     from fastspeech2_tpu.training.vocoder import train_vocoder
 
+    init_gen = None
+    if args.init_gen_npz:
+        from fastspeech2_tpu.utils.params_io import load_variables_npz
+
+        init_gen = load_variables_npz(args.init_gen_npz)["params"]
+
     return train_vocoder(
         args.wav_dir, args.out_dir,
         total_steps=args.total_steps or cfg.get("training_steps", 1000),
@@ -114,6 +126,7 @@ def main(argv=None):
         discriminator_config=disc_cfg,
         finetune_from=args.finetune_from,
         mel_source=args.mel_source, split=args.split,
+        init_generator_params=init_gen,
         data_parallel=args.data_parallel, scan_step=args.scan_step,
         mel_weight=(args.mel_weight if args.mel_weight is not None
                     else cfg.get("mel_weight", 45.0)),

@@ -346,6 +346,81 @@ def test_train_vocoder_cli(tmp_path):
     assert os.path.isdir(tmp_path / "ckpt" / "5")
 
 
+def test_train_vocoder_cli_init_gen_npz(tmp_path):
+    """--init_gen_npz warm-starts the generator from a tracked fp16 npz
+    snapshot (params_io), continuing runs whose orbax checkpoints were
+    wiped (docs/vocoder_training.md C8C2I continuation)."""
+    import json
+
+    from fastspeech2_tpu.audio.wav import save_wav
+    from fastspeech2_tpu.cli.train_vocoder_cli import main
+    from fastspeech2_tpu.utils.params_io import save_variables_npz
+
+    wav_dir = tmp_path / "wavs" / "spk0"
+    os.makedirs(wav_dir)
+    t = np.arange(22050) / 22050.0
+    save_wav(str(wav_dir / "u0.wav"),
+             (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32), 22050)
+
+    cfg = {
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 16,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "segment_size": 2048,
+        "num_mels": 8,
+        "learning_rate": 2e-4,
+        "batch_size": 2,
+        "discriminator": {
+            "periods": [2, 3], "n_scales": 2,
+            "period_channels": [4, 8],
+            "scale_layers": [[8, 15, 1, 1], [16, 41, 4, 4], [16, 5, 1, 1]],
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    gen = HiFiGANGenerator(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), n_mel_channels=8)
+    params = gen.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 8)))["params"]
+    npz_path = tmp_path / "gen_snapshot.npz"
+    save_variables_npz(str(npz_path), {"params": params})
+
+    captured = {}
+    import fastspeech2_tpu.training.vocoder as V
+
+    orig = V.train_vocoder
+
+    def wrapped(*a, **kw):
+        captured["init"] = kw.get("init_generator_params")
+        return orig(*a, **kw)
+
+    V.train_vocoder = wrapped
+    try:
+        main([
+            "--wav_dir", str(tmp_path / "wavs"),
+            "--out_dir", str(tmp_path / "ckpt"),
+            "--config", str(cfg_path),
+            "--init_gen_npz", str(npz_path),
+            "--total_steps", "1", "--log_step", "1", "--save_step", "1",
+        ])
+    finally:
+        V.train_vocoder = orig
+
+    init = captured["init"]
+    assert init is not None
+    ref_leaves = jax.tree_util.tree_leaves_with_path(params)
+    got_leaves = jax.tree_util.tree_leaves_with_path(init)
+    assert [p for p, _ in ref_leaves] == [p for p, _ in got_leaves]
+    for (_, a), (_, b) in zip(ref_leaves, got_leaves):
+        # fp16 snapshot roundtrip: equal to half precision
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_train_vocoder_scan_mode(tmp_path):
     """--scan_step runs the device-resident bank path: K GAN steps per
     dispatch with in-graph segment gathers, same duty boundaries."""
