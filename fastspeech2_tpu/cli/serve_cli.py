@@ -40,7 +40,8 @@ def build_server(args):
 
         mesh = make_mesh(data=args.data_parallel, model=1)
     synthesizer = Synthesizer(model, variables, cfg, preprocess_config,
-                              vocoder=vocoder, mesh=mesh)
+                              vocoder=vocoder, mesh=mesh,
+                              snap_to_warm=True)
     batcher = BatchingSynthesizer(
         synthesizer, max_batch_size=args.max_batch_size,
         max_wait_ms=args.max_wait_ms, max_pending=args.max_pending)

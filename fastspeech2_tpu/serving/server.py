@@ -100,38 +100,74 @@ class BatchingSynthesizer:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def warmup(self, sample_texts=None, log=print):
-        """Pre-compile the bounded executable set before taking traffic.
+    def warmup(self, sample_texts=None, log=print, max_phones=128,
+               background=True):
+        """Pre-compile serving executables with no cold-compile hole.
 
-        The pipeline pads every dispatch to a power-of-two batch bucket
-        and a text-length bucket, so the set of executables a steady
-        load can hit is small and known; compiling them here moves the
-        multi-second first-hit compiles (measured 25-50 s each through
-        the TPU relay) out of request latency.
+        Phase 1 (blocking): compile the TOP (max batch-bucket × max
+        text-bucket) combo and switch the synthesizer to snap_to_warm.
+        Every request within that envelope then pads up to an
+        already-compiled shape — the steady path never pays a cold XLA
+        compile (measured 25-50 s each through the TPU relay; the
+        round-4 sample-text warmup left grid holes that put 31 s in a
+        load test's p95, docs/benchmarks.md).
+
+        Phase 2 (daemon thread unless background=False): compile the
+        rest of the (batch-bucket × text-bucket) grid largest-first;
+        each combo joins the warm set as it lands, decaying the
+        padding waste of phase-1 snapping to zero.
+
+        max_phones bounds the warmed text envelope (128 phones covers
+        the reference's 100-char single-mode input and the sentence
+        chunks of the long-form path).  sample_texts, if given, extends
+        the envelope to cover each text's exact phone count.
         """
-        if sample_texts is None:
-            sample_texts = [
-                "The birch canoe slid on the smooth planks.",
-                "Glue the sheet to the dark blue background, then wait "
-                "for it to dry completely before moving it anywhere "
-                "else in the building.",
-            ]
-        # every power of two up to AND INCLUDING the bucket max_batch_size
-        # itself rounds to — a non-power-of-two max (e.g. 12) coalesces
-        # batches that _pack_batch pads to the NEXT bucket (16)
-        sizes = []
-        b = 1
+        syn = self.synthesizer
+        if hasattr(syn, "snap_to_warm"):
+            syn.snap_to_warm = True
+        tb = getattr(syn, "text_bucket", 16)
+        if sample_texts:
+            for text in sample_texts:
+                ids, _ = syn.text_to_ids(text)
+                max_phones = max(max_phones, len(ids))
+        # text buckets: tb doublings up to the first covering max_phones;
+        # batch buckets: every power of two up to AND INCLUDING the
+        # bucket max_batch_size itself rounds to — a non-power-of-two
+        # max (e.g. 12) coalesces batches that _pack_batch pads to the
+        # NEXT bucket (16)
+        pbuckets = [tb]
+        while pbuckets[-1] < max_phones:
+            pbuckets.append(pbuckets[-1] * 2)
+        sizes = [1]
         top = 1 << (self.max_batch_size - 1).bit_length()
-        while b <= top:
-            sizes.append(b)
-            b *= 2
+        while sizes[-1] < top:
+            sizes.append(sizes[-1] * 2)
         t0 = time.monotonic()
-        for text in sample_texts:
-            for s in sizes:
-                self.synthesizer.synthesize([text] * s)
-        log(f"Warmup compiled {len(sample_texts) * len(sizes)} "
-            f"(text-bucket x batch-bucket) executables in "
-            f"{time.monotonic() - t0:.0f}s")
+        syn.warm_shape(sizes[-1], pbuckets[-1])
+        grid = [(s, p) for p in reversed(pbuckets) for s in reversed(sizes)
+                if (s, p) != (sizes[-1], pbuckets[-1])]
+        log(f"Warmup compiled the top (batch {sizes[-1]} x text "
+            f"{pbuckets[-1]}) executable in {time.monotonic() - t0:.0f}s; "
+            f"{len(grid)} smaller (text-bucket x batch-bucket) combos "
+            f"{'compiling in background' if background else 'next'}")
+
+        def fill():
+            for s, p in grid:
+                if self._stop.is_set():
+                    return
+                try:
+                    syn.warm_shape(s, p)
+                except Exception as exc:   # warmup must never kill serving
+                    log(f"background warmup stopped at (batch {s} x "
+                        f"text {p}): {exc}")
+                    return
+            log(f"Warmup grid complete: {len(grid) + 1} executables in "
+                f"{time.monotonic() - t0:.0f}s")
+
+        if background:
+            threading.Thread(target=fill, daemon=True).start()
+        else:
+            fill()
 
     # -- client side ----------------------------------------------------
     def synthesize(self, text, speaker=0, p_control=1.0, e_control=1.0,

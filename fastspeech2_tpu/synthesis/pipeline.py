@@ -30,7 +30,8 @@ from fastspeech2_tpu.text.g2p import (
 class Synthesizer:
     def __init__(self, model, variables, config, preprocess_config,
                  vocoder=None, max_mel_len=None, text_bucket=16,
-                 control_mode="reference", mesh=None):
+                 control_mode="reference", mesh=None,
+                 snap_to_warm=False):
         """control_mode: how p/e control ratios are interpreted.
 
         - "reference": scale the PREDICTED (z-normalized) variance, the
@@ -47,6 +48,15 @@ class Synthesizer:
         across chips); the batch bucket rounds up to the axis size.
         This is the multi-chip serving path (supersedes the reference's
         single-GPU inference, synthesize.py:19).
+
+        snap_to_warm: serving mode — pad each dispatch UP to the
+        smallest already-compiled (batch-bucket, text-bucket) shape
+        instead of compiling the exact shape.  With the top combo
+        pre-compiled (BatchingSynthesizer.warmup), no steady-path
+        request ever pays a cold multi-second XLA compile; as the
+        background warmup fills in smaller combos, padding waste decays
+        to zero.  Off by default (one-shot CLI callers prefer exact
+        shapes).
         """
         self.model = model
         self.variables = variables
@@ -70,6 +80,14 @@ class Synthesizer:
         self.control_mode = control_mode
         self._lexicon = None
         self._stats = None
+        # warm-shape registry for snap_to_warm: {(batch_bucket, text_pad)}
+        # of shapes whose executables exist (marked after every dispatch
+        # at the default static mel length)
+        self.snap_to_warm = snap_to_warm
+        self._warm = set()
+        import threading as _threading
+
+        self._warm_lock = _threading.Lock()
 
         def _build_forward():
             @partial(jax.jit,
@@ -150,6 +168,8 @@ class Synthesizer:
         if self._batch_sharding is not None:
             Bb = max(Bb, self._dp)  # divisible: both are powers of two
         P = round_up(max(len(s) for s in id_seqs), self.text_bucket)
+        if self.snap_to_warm:
+            Bb, P = self._snap(Bb, P)
         texts = np.zeros((Bb, P), np.int32)
         src_lens = np.zeros(Bb, np.int32)
         for b in range(Bb):
@@ -163,6 +183,56 @@ class Synthesizer:
             spk = np.concatenate(
                 [spk, np.full(Bb - B, spk[0], np.int32)])
         return spk, texts, src_lens
+
+    def _snap(self, Bb, P):
+        """Smallest warm (batch, text) shape covering (Bb, P), else exact.
+
+        Candidate cost ranks by padded work (text dim dominates: the
+        static mel length is fixed, so extra text columns only grow the
+        encoder).  If no warm shape covers the request, the exact shape
+        is returned and its compile is paid once — after which it is
+        warm (see _mark_warm)."""
+        with self._warm_lock:
+            if (Bb, P) in self._warm:
+                return Bb, P
+            covering = [(p, b) for (b, p) in self._warm
+                        if b >= Bb and p >= P]
+        if covering:
+            p, b = min(covering)
+            return b, p
+        return Bb, P
+
+    def _mark_warm(self, texts_shape):
+        """Record a dispatched (batch, text) shape as compiled."""
+        with self._warm_lock:
+            self._warm.add((int(texts_shape[0]), int(texts_shape[1])))
+
+    def warm_shape(self, batch, phones):
+        """Compile the executable for an exact (batch, text-pad) shape.
+
+        Used by serving warmup: dispatches dummy phone IDs at the padded
+        shape through the same jitted path requests take, so the
+        resulting executable is byte-identical to what a real request
+        needs."""
+        P = round_up(max(1, phones), self.text_bucket)
+        ids = [np.ones(P, np.int32)] * max(1, batch)
+        snap, self.snap_to_warm = self.snap_to_warm, False
+        try:
+            if self._fused is not None:
+                speakers, texts, src_lens = self._pack_batch(ids, None)
+                wav, out = self._fused(
+                    self.variables, self.vocoder.params,
+                    self._put(speakers), self._put(texts),
+                    self._put(src_lens),
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+                    jnp.float32(0.0), jnp.float32(0.0),
+                    max_mel_len=self.max_mel_len)
+                jax.block_until_ready(wav)
+                self._mark_warm(texts.shape)
+            else:
+                self.infer_ids(ids)
+        finally:
+            self.snap_to_warm = snap
 
     def text_to_ids(self, text):
         pp = self.preprocess_config["preprocessing"]
@@ -241,6 +311,7 @@ class Synthesizer:
             jnp.float32(p_off), jnp.float32(e_off),
             max_mel_len=self.max_mel_len,
         )
+        self._mark_warm(texts.shape)
         need = self._needed_mel_len(out)
         if need > self.max_mel_len:
             out = self._forward(
@@ -271,6 +342,7 @@ class Synthesizer:
                 jnp.float32(d_control),
                 jnp.float32(p_off), jnp.float32(e_off),
                 max_mel_len=self.max_mel_len)
+            self._mark_warm(texts_arr.shape)
             need = self._needed_mel_len(out)
             if need > self.max_mel_len:
                 # re-dispatch at an extended static length, untruncated

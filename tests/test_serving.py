@@ -249,15 +249,53 @@ def test_synthesize_stream_generator(synthesizer):
 def test_warmup_compiles_bucket_set(synthesizer):
     from fastspeech2_tpu.serving import BatchingSynthesizer
 
-    batcher = BatchingSynthesizer(synthesizer, max_batch_size=4)
-    msgs = []
-    batcher.warmup(sample_texts=["hello there"], log=msgs.append)
-    # batch buckets 1, 2, 4 for one text bucket
-    assert msgs and "3 (text-bucket x batch-bucket)" in msgs[0]
-    # the warmed path serves a real request immediately
-    wav = batcher.synthesize("hello there")
-    assert wav.dtype.name == "int16" and len(wav) > 0
-    batcher.stop()
+    try:
+        batcher = BatchingSynthesizer(synthesizer, max_batch_size=4)
+        msgs = []
+        # background=False: the full grid is warm when warmup returns
+        batcher.warmup(sample_texts=["hello there"], log=msgs.append,
+                       max_phones=16, background=False)
+        assert msgs and "top (batch 4 x text 16)" in msgs[0]
+        assert any("grid complete" in m for m in msgs)
+        # grid = batch {1,2,4} x text {16} = 3 shapes, all marked warm
+        assert {(1, 16), (2, 16), (4, 16)} <= synthesizer._warm
+        # the warmed path serves a real request immediately
+        wav = batcher.synthesize("hello there")
+        assert wav.dtype.name == "int16" and len(wav) > 0
+        batcher.stop()
+    finally:
+        synthesizer.snap_to_warm = False      # module-scoped fixture
+
+
+def test_steady_path_has_no_cold_compiles(synthesizer):
+    """After phase-1 warmup (top combo only), requests of any size or
+    length inside the envelope snap to a warm shape: the jit caches of
+    the fused/forward executables do not grow (round-4 verdict item 6:
+    the serving SLO must hold from a cold start)."""
+    from fastspeech2_tpu.serving import BatchingSynthesizer
+
+    try:
+        batcher = BatchingSynthesizer(synthesizer, max_batch_size=4,
+                                      max_wait_ms=5.0)
+        # phase 1 only: compile the top combo (batch 4 x text 32) and
+        # enable snapping — nothing else is warm
+        synthesizer.snap_to_warm = True
+        synthesizer.warm_shape(4, 32)
+        fused = synthesizer._fused
+        n_compiled = fused._cache_size()
+        # varied batch sizes and text lengths, all within the envelope
+        wav = batcher.synthesize("hi")                       # batch 1, short
+        assert wav.dtype.name == "int16"   # random-init may predict 0 frames
+        wavs, _ = synthesizer.synthesize(
+            ["hello there", "bye"])                          # batch 2
+        assert len(wavs) == 2
+        wavs, _ = synthesizer.synthesize(["a longer sentence here"] * 3)
+        assert len(wavs) == 3
+        assert fused._cache_size() == n_compiled, \
+            "steady-path request compiled a new executable"
+        batcher.stop()
+    finally:
+        synthesizer.snap_to_warm = False
 
 
 # -- hardening: auth, size limits, overload shedding ----------------------
