@@ -63,7 +63,10 @@ def main(argv=None):
                         "snapshot (utils/params_io.py) — continues a run "
                         "whose orbax checkpoints were not kept; ignored "
                         "when out_dir already holds a checkpoint (resume "
-                        "wins)")
+                        "wins). The discriminators and optimizer states "
+                        "start fresh, so pair with --adv_warmup (e.g. "
+                        "1000) to let the discriminators catch up before "
+                        "the adversarial losses engage")
     p.add_argument("--scan_step", type=int, default=1,
                    help="run K GAN steps per dispatch over a "
                         "device-resident corpus bank (clamped to "
@@ -108,7 +111,15 @@ def main(argv=None):
     if args.init_gen_npz:
         from fastspeech2_tpu.utils.params_io import load_variables_npz
 
-        init_gen = load_variables_npz(args.init_gen_npz)["params"]
+        loaded = load_variables_npz(args.init_gen_npz)
+        if not isinstance(loaded, dict) or "params" not in loaded:
+            raise SystemExit(
+                f"--init_gen_npz {args.init_gen_npz}: snapshot has no "
+                f"'params' collection (top-level keys: "
+                f"{sorted(loaded) if isinstance(loaded, dict) else type(loaded).__name__}). "
+                "Expected the {'params': ...} layout written by "
+                "scripts/save_weights_npz.py.")
+        init_gen = loaded["params"]
 
     return train_vocoder(
         args.wav_dir, args.out_dir,

@@ -398,7 +398,10 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         mel0 = mel_fn(seg0)[0][:, :, : segment_size // hop].transpose(
             0, 2, 1)
     rng = jax.random.PRNGKey(seed)
-    gen_params = init_generator_params or gen.init(rng, mel0)["params"]
+    # explicit None check: an empty/malformed snapshot dict must fail
+    # loudly at apply time, not silently fall back to random init
+    gen_params = (init_generator_params if init_generator_params is not None
+                  else gen.init(rng, mel0)["params"])
     disc_params = disc.init(rng, seg0)["params"]
 
     gen_opt, _ = make_vocoder_optimizer(
