@@ -25,13 +25,17 @@ def main(argv=None):
                    help="preprocessed corpus path: fine-tune on aligned "
                         "(GT wav, mel) pairs (needs save_trimmed_wav at "
                         "preprocess time; 'pred' mels from export_mels.py)")
-    p.add_argument("--mel_source", choices=["pred", "gt", "mixed"],
+    p.add_argument("--mel_source",
+                   choices=["pred", "gt", "mixed", "gt_wav"],
                    default="pred",
                    help="mel inputs for --finetune_from: acoustic-model "
                         "predictions (pred), ground truth (gt), or a "
                         "50/50 per-sample mix (mixed — holds "
                         "copy-synthesis quality during GT-aligned "
-                        "fine-tuning)")
+                        "fine-tuning). gt_wav trains on the trimmed wav "
+                        "bank with the input mel computed in-graph — "
+                        "required for --aug_speed, equivalent to gt "
+                        "otherwise")
     p.add_argument("--split", default=None, metavar="FILE",
                    help="with --finetune_from: restrict training to the "
                         "utterances named in this metadata file inside the "
@@ -71,6 +75,16 @@ def main(argv=None):
                    help="run K GAN steps per dispatch over a "
                         "device-resident corpus bank (clamped to "
                         "gcd(log_step, save_step); corpus must fit HBM)")
+    p.add_argument("--aug_gain_db", type=float, default=0.0,
+                   help="random per-segment gain in U[-d, +d] dB "
+                        "(in-graph; exact in every mode — log-e mels "
+                        "shift additively). OOD-robustness augmentation "
+                        "for small corpora")
+    p.add_argument("--aug_speed", default=None, metavar="LO,HI",
+                   help="random per-segment playback rate in U[lo, hi] "
+                        "(joint pitch+tempo, e.g. 0.9,1.1). Needs "
+                        "in-graph mels: --wav_dir mode or "
+                        "--mel_source gt_wav")
     args = p.parse_args(argv)
     if args.wav_dir is None and args.finetune_from is None:
         p.error("one of --wav_dir or --finetune_from is required")
@@ -142,6 +156,9 @@ def main(argv=None):
         mel_weight=(args.mel_weight if args.mel_weight is not None
                     else cfg.get("mel_weight", 45.0)),
         adv_warmup=args.adv_warmup,
+        aug_gain_db=args.aug_gain_db,
+        aug_speed=(tuple(float(x) for x in args.aug_speed.split(","))
+                   if args.aug_speed else None),
         log_step=args.log_step, save_step=args.save_step, seed=args.seed,
     )
 

@@ -87,6 +87,23 @@ def feature_loss(real_fmaps, fake_fmaps):
     return 2.0 * loss
 
 
+def resample_segments(wav_ext, rates, out_len):
+    """Per-element linear-interp speed perturbation, all shapes static.
+
+    wav_ext: [B, S_ext] source segments with S_ext >= out_len * max rate;
+    rates: [B] playback rates (r > 1 = faster = higher pitch);
+    -> [B, out_len] where out[b, i] = wav_ext[b, i * r_b] (linear interp,
+    clamped at the segment edge).  One gather pair per step — cheap on
+    TPU, and jointly shifts pitch and tempo like sox `speed`."""
+    s_ext = wav_ext.shape[1]
+    pos = jnp.arange(out_len, dtype=jnp.float32)[None, :] * rates[:, None]
+    idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, s_ext - 2)
+    frac = pos - idx0.astype(jnp.float32)
+    lo = jnp.take_along_axis(wav_ext, idx0, axis=1)
+    hi = jnp.take_along_axis(wav_ext, idx0 + 1, axis=1)
+    return lo * (1.0 - frac) + hi * frac
+
+
 def make_vocoder_train_step(gen: HiFiGANGenerator,
                             disc: HiFiGANDiscriminators,
                             mel_fn: MelSpectrogram,
@@ -94,7 +111,11 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
                             mel_weight: float = 45.0,
                             external_mel: bool = False,
                             gen_input_scale: float = 1.0,
-                            adv_warmup: int = 0):
+                            adv_warmup: int = 0,
+                            aug_gain_db: float = 0.0,
+                            aug_speed: tuple = None,
+                            out_segment: int = None,
+                            aug_seed: int = 0):
     """external_mel=False: the generator input mel is computed on device
     from the ground-truth segment (from-scratch training).  True: the step
     takes (wav, mel_in) — e.g. acoustic-model-predicted mels for
@@ -108,19 +129,58 @@ def make_vocoder_train_step(gen: HiFiGANGenerator,
     adv_warmup > 0: for the first N steps the generator trains on the
     mel-L1 reconstruction loss only and the discriminators stay frozen —
     the gentler recipe for variants (C8C2I) that blow up when the
-    adversarial game starts from a random generator."""
+    adversarial game starts from a random generator.
+
+    Augmentation (in-graph, keyed on the step counter so resume replays
+    the same stream):
+    - aug_gain_db > 0: per-element gain g = 10^(U[-d, d]/20).  Exact in
+      both modes: log-e mels shift additively by ln(g) (preprocessed
+      mels are raw log mels, preprocessor.py _finalize_utterance), so
+      external input mels are corrected in place while in-graph mels
+      pick the gain up from the waveform.
+    - aug_speed=(lo, hi): per-element playback-rate resampling (joint
+      pitch+tempo, sox-`speed` style).  Requires the input mel to be
+      computed in-graph (external_mel=False): a precomputed mel cannot
+      follow a waveform resample.  The step then takes wav segments of
+      length out_segment * hi (out_segment = the post-resample segment
+      length the GAN trains on)."""
     hop = mel_fn.hop_length
+    if aug_speed is not None and external_mel:
+        raise ValueError("aug_speed needs in-graph mels "
+                         "(external_mel=False); use gain-only "
+                         "augmentation with external mels")
 
     def mel_of(wav, n_frames):
         m, _ = mel_fn(wav)                       # [B, n_mels, F+1]
         return m[:, :, :n_frames]
 
     def step(state: VocoderTrainState, wav: jnp.ndarray, mel=None):
-        """wav: [B, S] ground-truth segments, S a multiple of hop;
+        """wav: [B, S] ground-truth segments, S a multiple of hop
+        (S = out_segment * aug_speed[1] when speed perturbation is on);
         mel (external_mel only): [B, S//hop, n_mels] generator input."""
+        if aug_speed is not None or aug_gain_db:
+            rng = jax.random.fold_in(jax.random.PRNGKey(aug_seed),
+                                     state.step)
+            g_rng, s_rng = jax.random.split(rng)
+        if aug_speed is not None:
+            rates = jax.random.uniform(
+                s_rng, (wav.shape[0],), minval=aug_speed[0],
+                maxval=aug_speed[1])
+            wav = resample_segments(wav, rates, out_segment)
+        gain_log = None
+        if aug_gain_db:
+            db = jax.random.uniform(g_rng, (wav.shape[0],),
+                                    minval=-aug_gain_db,
+                                    maxval=aug_gain_db)
+            gain = 10.0 ** (db / 20.0)
+            wav = wav * gain[:, None]
+            gain_log = jnp.log(gain)
         n_frames = wav.shape[1] // hop
         if external_mel:
             mel_in = mel
+            if gain_log is not None:
+                # raw log-e mels shift additively under gain
+                mel_in = mel_in + gain_log[:, None, None]
         else:
             mel_in = mel_of(wav, n_frames).transpose(0, 2, 1)  # [B,F,n_mels]
         if gen_input_scale != 1.0:
@@ -296,6 +356,39 @@ class FinetuneSampler:
         return wav_out, mel_out
 
 
+class TrimmedWavSampler:
+    """Random fixed-length segments from a preprocessed corpus's trimmed
+    wav bank (wav/<spk>-wav-<base>.npy), with the same `split` restriction
+    as FinetuneSampler — mel_source="gt_wav": ground-truth training where
+    the input mel is computed IN-GRAPH from the waveform, so waveform
+    augmentation (speed perturbation) stays consistent with the mel."""
+
+    def __init__(self, preprocessed_path, segment_size=8192, seed=0,
+                 split=None):
+        inner = FinetuneSampler(preprocessed_path, segment_size,
+                                mel_source="gt", seed=seed, split=split)
+        self.segment_size = segment_size
+        self.paths = [w for w, _ in inner.pairs]
+        self._rng = random.Random(seed)
+        self._cache = {}
+
+    def _load(self, path):
+        if path not in self._cache:
+            self._cache[path] = np.load(path).astype(np.float32)
+        return self._cache[path]
+
+    def sample(self, batch_size):
+        out = np.zeros((batch_size, self.segment_size), np.float32)
+        for b in range(batch_size):
+            wav = self._load(self._rng.choice(self.paths))
+            if len(wav) > self.segment_size:
+                start = self._rng.randrange(len(wav) - self.segment_size)
+                out[b] = wav[start:start + self.segment_size]
+            else:
+                out[b, :len(wav)] = wav
+        return out
+
+
 class SegmentSampler:
     """Random fixed-length waveform segments from a corpus directory laid
     out like the raw preprocessing corpus (<root>/<speaker>/*.wav)."""
@@ -341,6 +434,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
                   finetune_from=None, mel_source="pred", split=None,
                   init_generator_params=None, data_parallel=None,
                   scan_step=1, mel_weight=45.0, adv_warmup=0,
+                  aug_gain_db=0.0, aug_speed=None,
                   log=print):
     """Train (or smoke-train) the native HiFi-GAN generator.
 
@@ -385,7 +479,19 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         hop_length=256, n_mel_channels=n_mel_channels,
         sampling_rate=sampling_rate, mel_fmax=mel_fmax)
     hop = mel_fn.hop_length
-    external_mel = finetune_from is not None
+    external_mel = finetune_from is not None and mel_source != "gt_wav"
+    if aug_speed is not None and external_mel:
+        raise ValueError(
+            "aug_speed needs the input mel computed in-graph: use "
+            "mel_source='gt_wav' (or from-scratch --wav_dir mode); "
+            "external mels support gain augmentation only")
+    # speed perturbation consumes longer source segments: the step
+    # resamples [B, seg_ext] down/up to segment_size at r<=aug_speed[1]
+    seg_ext = segment_size
+    if aug_speed is not None:
+        import math as _math
+
+        seg_ext = int(_math.ceil(segment_size * aug_speed[1]))
 
     if external_mel:
         sampler = FinetuneSampler(finetune_from, segment_size, hop,
@@ -393,10 +499,15 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
         seg0, mel0 = sampler.sample(batch_size)
         seg0, mel0 = jnp.asarray(seg0), jnp.asarray(mel0)
     else:
-        sampler = SegmentSampler(wav_dir, segment_size, sampling_rate, seed)
+        if finetune_from is not None:
+            sampler = TrimmedWavSampler(finetune_from, seg_ext, seed,
+                                        split=split)
+        else:
+            sampler = SegmentSampler(wav_dir, seg_ext, sampling_rate, seed)
         seg0 = jnp.asarray(sampler.sample(batch_size))
         mel0 = mel_fn(seg0)[0][:, :, : segment_size // hop].transpose(
             0, 2, 1)
+        seg0 = seg0[:, :segment_size]
     rng = jax.random.PRNGKey(seed)
     # explicit None check: an empty/malformed snapshot dict must fail
     # loudly at apply time, not silently fall back to random init
@@ -450,16 +561,18 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
     # process share it (utils/jit_cache.py)
     from fastspeech2_tpu.utils.jit_cache import cached_jit
 
+    aug_kw = dict(aug_gain_db=aug_gain_db, aug_speed=aug_speed,
+                  out_segment=segment_size, aug_seed=seed)
     step_fn = cached_jit(
         ("voc_train_step", gen, disc, mel_fn, learning_rate, lr_decay,
          steps_per_epoch, external_mel, mel_weight, gen_input_scale,
-         adv_warmup),
+         adv_warmup, aug_gain_db, aug_speed, segment_size, seed),
         lambda: jax.jit(
             make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
                                     mel_weight=mel_weight,
                                     external_mel=external_mel,
                                     gen_input_scale=gen_input_scale,
-                                    adv_warmup=adv_warmup),
+                                    adv_warmup=adv_warmup, **aug_kw),
             donate_argnums=0))
 
     os.makedirs(out_dir, exist_ok=True)
@@ -470,7 +583,7 @@ def train_vocoder(wav_dir, out_dir, *, total_steps=1000, batch_size=16,
             segment_size, hop, sampler, external_mel, gen, disc, mel_fn,
             gen_opt, disc_opt, learning_rate, lr_decay, steps_per_epoch,
             log_step, save_step, out_dir, data_parallel, seed, mel_weight,
-            gen_input_scale, adv_warmup, log)
+            gen_input_scale, adv_warmup, aug_kw, seg_ext, log)
 
     for i in range(start_step + 1, total_steps + 1):
         if external_mel:
@@ -494,7 +607,8 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
                            disc_opt, learning_rate, lr_decay,
                            steps_per_epoch, log_step, save_step, out_dir,
                            data_parallel, seed, mel_weight,
-                           gen_input_scale, adv_warmup, log):
+                           gen_input_scale, adv_warmup, aug_kw, seg_ext,
+                           log):
     """Device-resident scanned GAN training (see make_scanned_vocoder_step).
 
     The corpus must fit in HBM as a padded bank: N * L_max floats
@@ -527,9 +641,9 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
         hi = np.array([max(m.shape[0] - n_frames_seg, 0) for m in mels])
     else:
         wavs = [sampler._load(p) for p in sampler.paths]
-        l_max = max(max(len(w) for w in wavs), segment_size)
+        l_max = max(max(len(w) for w in wavs), seg_ext)
         mel_bank = np.zeros((1, 1, 1), np.float32)  # unused placeholder
-        hi = np.array([max(len(w) - segment_size, 0) for w in wavs])
+        hi = np.array([max(len(w) - seg_ext, 0) for w in wavs])
     bank = np.zeros((len(wavs), l_max), np.float32)
     for i, w in enumerate(wavs):
         bank[i, : len(w)] = w
@@ -553,13 +667,14 @@ def _train_vocoder_scanned(scan_step, state, start_step, total_steps,
                                     mel_weight=mel_weight,
                                     external_mel=external_mel,
                                     gen_input_scale=gen_input_scale,
-                                    adv_warmup=adv_warmup)
+                                    adv_warmup=adv_warmup, **aug_kw)
     scanned = cached_jit(
         ("voc_scanned_step", gen, disc, mel_fn, learning_rate, lr_decay,
          steps_per_epoch, external_mel, K, segment_size, mel_weight,
-         gen_input_scale, adv_warmup),
+         gen_input_scale, adv_warmup,
+         tuple(sorted((k, v) for k, v in aug_kw.items())), seg_ext),
         lambda: jax.jit(
-            make_scanned_vocoder_step(inner, segment_size, hop,
+            make_scanned_vocoder_step(inner, seg_ext, hop,
                                       external_mel),
             donate_argnums=0))
 

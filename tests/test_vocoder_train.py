@@ -629,3 +629,121 @@ def test_adv_warmup_freezes_discriminator():
     assert not all(np.array_equal(a, b) for a, b in
                    zip(leaves2, jax.tree_util.tree_leaves(d3)))
     assert float(losses2["gen"]) > 45.0 * float(losses2["gen_mel"])
+
+
+def test_resample_segments_oracle():
+    """Per-element linear-interp speed perturbation vs a numpy oracle."""
+    from fastspeech2_tpu.training.vocoder import resample_segments
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(3, 512).astype(np.float32)
+    rates = np.asarray([1.0, 0.9, 1.15], np.float32)
+    out = np.asarray(resample_segments(
+        jnp.asarray(wav), jnp.asarray(rates), 400))
+    # rate 1.0 is the identity on the first 400 samples
+    np.testing.assert_allclose(out[0], wav[0, :400], rtol=1e-6)
+    for b in (1, 2):
+        # float32 positions, matching the in-graph arithmetic (float64
+        # positions floor differently when i * rate lands on an integer)
+        pos = (np.arange(400, dtype=np.float32) * rates[b]).astype(
+            np.float64)
+        oracle = np.interp(pos, np.arange(512), wav[b])
+        np.testing.assert_allclose(out[b], oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_gain_shifts_log_mel_additively():
+    """The gain augmentation's external-mel correction assumes log-e mels
+    shift by ln(g) under waveform gain; verify on real-ish audio."""
+    mel_fn = _mel_fn()
+    # broadband noise: every mel band carries energy, keeping all bins
+    # above the log-compression clamp floor (where additivity breaks —
+    # acceptable for augmentation, but excluded from this exactness test)
+    wav = jnp.asarray(
+        0.3 * np.random.RandomState(0).randn(1, SEG).astype(np.float32))
+    g = 1.8
+    m1 = np.asarray(mel_fn(wav)[0])
+    m2 = np.asarray(mel_fn(wav * g)[0])
+    np.testing.assert_allclose(m2, m1 + np.log(g), atol=2e-3)
+
+
+def test_augmented_train_step_runs():
+    """From-scratch step with gain + speed augmentation: consumes the
+    extended segment, produces finite losses, and the augmentation is
+    step-keyed (two different steps draw different augmentations; the
+    same step replays identically — resume determinism)."""
+    rng = jax.random.PRNGKey(0)
+    gen, disc, mel_fn = _tiny_gen(), _tiny_disc(), _mel_fn()
+    seg_ext = int(np.ceil(SEG * 1.1))
+
+    t = np.arange(seg_ext) / 22050.0
+    wav = jnp.asarray(np.stack([
+        0.5 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)
+    ]).astype(np.float32))
+    mel0 = mel_fn(wav)[0][:, :, : SEG // 256].transpose(0, 2, 1)
+    gen_params = jax.jit(gen.init)(rng, mel0)["params"]
+    disc_params = jax.jit(disc.init)(rng, wav[:, :SEG])["params"]
+    gen_opt, _ = make_vocoder_optimizer(2e-4)
+    disc_opt, _ = make_vocoder_optimizer(2e-4)
+    state = VocoderTrainState.create(gen_params, disc_params,
+                                     gen_opt, disc_opt)
+    step_fn = jax.jit(make_vocoder_train_step(
+        gen, disc, mel_fn, gen_opt, disc_opt,
+        aug_gain_db=6.0, aug_speed=(0.9, 1.1), out_segment=SEG))
+
+    s1, l1 = step_fn(state, wav)
+    assert all(np.isfinite(float(v)) for v in l1.values())
+    # same state+input replays the same augmentation (step-keyed RNG)
+    _, l1b = step_fn(state, wav)
+    assert float(l1b["gen_mel"]) == float(l1["gen_mel"])
+    # the next step draws a different augmentation
+    _, l2 = step_fn(s1, wav)
+    assert float(l2["gen_mel"]) != float(l1["gen_mel"])
+
+
+def test_aug_speed_with_external_mel_raises():
+    import pytest
+
+    gen, disc, mel_fn = _tiny_gen(), _tiny_disc(), _mel_fn()
+    gen_opt, _ = make_vocoder_optimizer(2e-4)
+    disc_opt, _ = make_vocoder_optimizer(2e-4)
+    with pytest.raises(ValueError, match="in-graph"):
+        make_vocoder_train_step(gen, disc, mel_fn, gen_opt, disc_opt,
+                                external_mel=True, aug_speed=(0.9, 1.1),
+                                out_segment=SEG)
+
+
+def test_train_vocoder_gt_wav_augmented(tmp_path):
+    """mel_source='gt_wav': trains from the trimmed wav bank with split
+    restriction and full (gain + speed) augmentation, scan mode."""
+    from fastspeech2_tpu.training.vocoder import train_vocoder
+
+    pre = tmp_path / "pre"
+    (pre / "wav").mkdir(parents=True)
+    (pre / "mel").mkdir()
+    t = np.arange(4096) / 22050.0
+    for n, f in [("utt_a", 220.0), ("utt_b", 330.0), ("utt_c", 440.0)]:
+        np.save(pre / "wav" / f"SPK-wav-{n}.npy",
+                (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32))
+        np.save(pre / "mel" / f"SPK-mel-{n}.npy",
+                np.zeros((16, 8), np.float32))
+    (pre / "train.txt").write_text(
+        "utt_a|SPK|{AH0}|a\nutt_c|SPK|{AH0}|c\n")
+
+    state = train_vocoder(
+        None, str(tmp_path / "out"),
+        total_steps=4, batch_size=2, segment_size=SEG,
+        generator_config=dict(
+            upsample_rates=(8, 8, 2, 2),
+            upsample_kernel_sizes=(16, 16, 4, 4),
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),)),
+        discriminator_config=dict(
+            periods=(2, 3), n_scales=2, period_channels=(4, 8),
+            scale_layers=((8, 15, 1, 1), (16, 41, 4, 4), (16, 5, 1, 1))),
+        n_mel_channels=8,
+        finetune_from=str(pre), mel_source="gt_wav", split="train.txt",
+        aug_gain_db=6.0, aug_speed=(0.9, 1.1),
+        scan_step=2, log_step=2, save_step=4, log=lambda *_: None)
+    assert int(state.step) == 4
+    assert os.path.isdir(tmp_path / "out" / "4")
