@@ -354,6 +354,11 @@ def _main():
         result["extras"]["e2e_ms_c8c2i_vocoder"] = round(c8c2i_s * 1000, 2)
         result["extras"]["rtf_c8c2i_vocoder"] = round(
             c8c2i_s / audio_seconds, 6)
+        # demoted speed point (round 5): best trained C8C2I checkpoint
+        # scores 32.2 dB copy-synthesis at 50k steps vs the C8C8I-class
+        # <15 dB bar — quality-limited, not a headline path
+        # (docs/vocoder_training.md "Variant stability note")
+        result["extras"]["rtf_c8c2i_note"] = "demoted: quality-limited"
     result["extras"]["e2e_ms_b1"] = round(b1_s * 1000, 2)
     result["extras"]["rtf_b1"] = round(b1_s / (T * hop / sr), 6)
     if not args.skip_train:

@@ -121,13 +121,31 @@ def main():
     ap.add_argument("--voc_scan", type=int, default=500)
     ap.add_argument("--mel_weight", type=float, default=135.0)
     ap.add_argument("--skip_train_eval", action="store_true")
+    ap.add_argument("--voc_aug_gain_db", type=float, default=0.0,
+                    help="vocoder augmentation: random per-segment gain "
+                         "U[-d,+d] dB in both stages (OOD-robustness "
+                         "experiment, round-5 verdict item 3)")
+    ap.add_argument("--voc_aug_speed", default=None, metavar="LO,HI",
+                    help="vocoder augmentation: playback-rate "
+                         "perturbation in stage A (switches stage A to "
+                         "mel_source gt_wav so the input mel follows "
+                         "the resampled waveform)")
+    ap.add_argument("--voc_tag", default="vocoder",
+                    help="vocoder output subdir: give each augmentation "
+                         "arm its own tag to train multiple vocoders "
+                         "against one fold acoustic model")
     args = ap.parse_args()
 
     py = sys.executable
-    summary = {"folds": {}, "args": vars(args)}
     out_base = REPO / args.out_root
     out_base.mkdir(parents=True, exist_ok=True)
     summary_path = out_base / "summary.json"
+    # accumulate across invocations (each fold:tag is one entry)
+    summary = {"folds": {}}
+    if summary_path.exists():
+        summary = json.loads(summary_path.read_text())
+    summary.setdefault("folds", {})
+    summary["args"] = vars(args)
 
     for fold in args.folds:
         out_root = out_base / fold
@@ -144,13 +162,15 @@ def main():
         if not (out_root / "ckpt" / str(args.acoustic_steps)).exists():
             run([py, "train.py", *cfg, "--dtype", "bfloat16"], log_path)
 
-        # 2. teacher-forced predicted mels (train split only)
-        run([py, "export_mels.py", *cfg,
-             "--restore_step", args.acoustic_steps,
-             "--teacher_force", "d"], log_path)
+        # 2. teacher-forced predicted mels (train split only; already
+        # present when a second vocoder arm reuses the fold acoustic)
+        if not (fold_pre / "mel_pred").exists():
+            run([py, "export_mels.py", *cfg,
+                 "--restore_step", args.acoustic_steps,
+                 "--teacher_force", "d"], log_path)
 
         # 3. vocoder stage A (GT mels, from scratch) + stage B (predicted)
-        voc_dir = out_root / "vocoder"
+        voc_dir = out_root / args.voc_tag
         common = [py, "train_vocoder.py",
                   "--finetune_from", fold_pre,
                   "--split", "train.txt",
@@ -161,26 +181,55 @@ def main():
                   "--scan_step", args.voc_scan,
                   "--mel_weight", args.mel_weight,
                   "--save_step", 5000, "--log_step", 500]
-        run([*common, "--mel_source", "gt",
+        aug = []
+        if args.voc_aug_gain_db:
+            aug += ["--aug_gain_db", args.voc_aug_gain_db]
+        stage_a_src = "gt"
+        stage_a_aug = list(aug)
+        if args.voc_aug_speed:
+            # speed perturbation needs in-graph mels (stage A only; the
+            # predicted-mel stage keeps gain, which is exact on
+            # external log-mels)
+            stage_a_src = "gt_wav"
+            stage_a_aug += ["--aug_speed", args.voc_aug_speed]
+        run([*common, "--mel_source", stage_a_src, *stage_a_aug,
              "--total_steps", args.voc_stage_a], log_path)
         total = args.voc_stage_a + args.voc_stage_b
-        run([*common, "--mel_source", "pred",
+        run([*common, "--mel_source", "pred", *aug,
              "--total_steps", total], log_path)
 
         # 4. held-out + training-set objective scores
         eval_common = [py, "evaluate.py", *cfg,
                        "--restore_step", args.acoustic_steps,
                        "--vocoder_ckpt", voc_dir / str(total)]
-        held_dir = out_root / "eval_heldout"
+        held_dir = out_root / f"eval_heldout_{args.voc_tag}"
         run([*eval_common, "--objective", "1", "--split", "val",
              "--save_dir", held_dir], log_path)
         fold_result = {"heldout": read_metrics(held_dir)}
+
+        # 4b. vocoder OOD diagnostic: copy-synthesize the held-out clip's
+        # GT mel through the fold vocoder (and one training clip as the
+        # in-distribution anchor) — isolates the vocoder's share of the
+        # held-out gap (docs/heldout_eval.md "blame decomposes")
+        raw_dir = REPO / "raw_data" / "LJSpeech10" / "LJSpeech"
+        train_first = (fold_pre / "train.txt").read_text().split("|")[0]
+        copysyn_log = out_root / f"copysyn_{args.voc_tag}.json"
+        run([py, "-m", "fastspeech2_tpu.evaluation.vocoder_eval",
+             "--vocoder", "HiFi-GAN-iSTFT",
+             "--ckpt", voc_dir / str(total),
+             raw_dir / f"{fold}.wav", raw_dir / f"{train_first}.wav"],
+            copysyn_log)
+        rows = [json.loads(ln) for ln in
+                copysyn_log.read_text().splitlines()
+                if ln.startswith("{")]
+        fold_result["copysyn"] = {
+            "heldout": rows[0], "train_anchor": rows[1]}
         if not args.skip_train_eval:
-            train_dir = out_root / "eval_train"
+            train_dir = out_root / f"eval_train_{args.voc_tag}"
             run([*eval_common, "--objective", "9", "--split", "train",
                  "--save_dir", train_dir], log_path)
             fold_result["train"] = read_metrics(train_dir)
-        summary["folds"][fold] = fold_result
+        summary["folds"][f"{fold}:{args.voc_tag}"] = fold_result
         summary_path.write_text(json.dumps(summary, indent=2))
         print(f"[loo] fold {fold} done: "
               + json.dumps(fold_result["heldout"]["objective_mean"]),
