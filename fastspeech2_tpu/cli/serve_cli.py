@@ -82,6 +82,15 @@ def main(argv=None):
                         help="skip pre-compiling the batch/text bucket "
                              "executables at startup (first requests then "
                              "pay the compiles)")
+    parser.add_argument("--warmup_grid", default="top",
+                        choices=["top", "background", "full"],
+                        help="beyond the always-compiled top combo: 'top' "
+                             "compiles nothing else (requests snap to it "
+                             "— safe on shared/relay chips, the default), "
+                             "'background' fills the grid in a thread "
+                             "(dedicated chip only: in-flight compiles "
+                             "serialize ahead of request dispatches), "
+                             "'full' fills it blocking before traffic")
     parser.add_argument("--data_parallel", type=int, default=None,
                         help="shard inference batches over an N-device "
                              "data mesh (params replicated); batch "
@@ -90,7 +99,7 @@ def main(argv=None):
 
     server = build_server(args)
     if not args.no_warmup:
-        server.batcher.warmup()
+        server.batcher.warmup(grid=args.warmup_grid)
     print(f"Serving TTS on {args.host}:{server.port} "
           f"(max_batch_size={args.max_batch_size}, "
           f"max_wait_ms={args.max_wait_ms})")

@@ -101,21 +101,34 @@ class BatchingSynthesizer:
         self._thread.start()
 
     def warmup(self, sample_texts=None, log=print, max_phones=128,
-               background=True):
+               grid="top"):
         """Pre-compile serving executables with no cold-compile hole.
 
-        Phase 1 (blocking): compile the TOP (max batch-bucket × max
-        text-bucket) combo and switch the synthesizer to snap_to_warm.
-        Every request within that envelope then pads up to an
-        already-compiled shape — the steady path never pays a cold XLA
-        compile (measured 25-50 s each through the TPU relay; the
-        round-4 sample-text warmup left grid holes that put 31 s in a
-        load test's p95, docs/benchmarks.md).
+        Phase 1 (always, blocking): compile the TOP (max batch-bucket ×
+        max text-bucket) combo and switch the synthesizer to
+        snap_to_warm.  Every request within that envelope then pads up
+        to an already-compiled shape — the steady path never pays a
+        cold XLA compile (measured 25-50 s each through the TPU relay;
+        the round-4 sample-text warmup left grid holes that put 31 s in
+        a load test's p95, docs/benchmarks.md).
 
-        Phase 2 (daemon thread unless background=False): compile the
-        rest of the (batch-bucket × text-bucket) grid largest-first;
-        each combo joins the warm set as it lands, decaying the
-        padding waste of phase-1 snapping to zero.
+        grid — what happens to the REST of the (batch-bucket ×
+        text-bucket) grid:
+        - "top" (default): nothing.  All requests snap to the top
+          combo; the padding waste is bounded (one dispatch shape) and
+          each dispatch stays in the low hundreds of ms, far inside
+          the latency SLO.  This is the correct mode when the chip is
+          shared or reached through a relay: a measured round-5 load
+          test with background compiles in flight put 55 s in p95,
+          because every in-flight compile serializes ahead of queued
+          request dispatches at the device.
+        - "background": fill largest-first in a daemon thread; each
+          combo joins the warm set as it lands.  Only safe when
+          compiles do not contend with serving dispatches (dedicated
+          local chip, multi-process serving).
+        - "full": fill blocking, before taking traffic — the zero-
+          padding-waste option, at startup-time cost (~25-50 s per
+          combo through a relay).
 
         max_phones bounds the warmed text envelope (128 phones covers
         the reference's 100-char single-mode input and the sentence
@@ -144,15 +157,21 @@ class BatchingSynthesizer:
             sizes.append(sizes[-1] * 2)
         t0 = time.monotonic()
         syn.warm_shape(sizes[-1], pbuckets[-1])
-        grid = [(s, p) for p in reversed(pbuckets) for s in reversed(sizes)
-                if (s, p) != (sizes[-1], pbuckets[-1])]
+        combos = [(s, p) for p in reversed(pbuckets)
+                  for s in reversed(sizes)
+                  if (s, p) != (sizes[-1], pbuckets[-1])]
+        what = {"top": "skipped (requests snap to the top combo)",
+                "background": "compiling in background",
+                "full": "next"}[grid]
         log(f"Warmup compiled the top (batch {sizes[-1]} x text "
             f"{pbuckets[-1]}) executable in {time.monotonic() - t0:.0f}s; "
-            f"{len(grid)} smaller (text-bucket x batch-bucket) combos "
-            f"{'compiling in background' if background else 'next'}")
+            f"{len(combos)} smaller (text-bucket x batch-bucket) combos "
+            f"{what}")
+        if grid == "top":
+            return
 
         def fill():
-            for s, p in grid:
+            for s, p in combos:
                 if self._stop.is_set():
                     return
                 try:
@@ -161,10 +180,10 @@ class BatchingSynthesizer:
                     log(f"background warmup stopped at (batch {s} x "
                         f"text {p}): {exc}")
                     return
-            log(f"Warmup grid complete: {len(grid) + 1} executables in "
+            log(f"Warmup grid complete: {len(combos) + 1} executables in "
                 f"{time.monotonic() - t0:.0f}s")
 
-        if background:
+        if grid == "background":
             threading.Thread(target=fill, daemon=True).start()
         else:
             fill()

@@ -252,9 +252,9 @@ def test_warmup_compiles_bucket_set(synthesizer):
     try:
         batcher = BatchingSynthesizer(synthesizer, max_batch_size=4)
         msgs = []
-        # background=False: the full grid is warm when warmup returns
+        # grid="full": the whole grid is warm when warmup returns
         batcher.warmup(sample_texts=["hello there"], log=msgs.append,
-                       max_phones=16, background=False)
+                       max_phones=16, grid="full")
         assert msgs and "top (batch 4 x text 16)" in msgs[0]
         assert any("grid complete" in m for m in msgs)
         # grid = batch {1,2,4} x text {16} = 3 shapes, all marked warm
@@ -263,6 +263,22 @@ def test_warmup_compiles_bucket_set(synthesizer):
         wav = batcher.synthesize("hello there")
         assert wav.dtype.name == "int16" and len(wav) > 0
         batcher.stop()
+
+        # default grid="top": only the top combo compiles; smaller
+        # requests snap to it (the safe mode on shared/relay chips,
+        # where in-flight background compiles serialize ahead of
+        # request dispatches — measured 55 s p95, docs/benchmarks.md)
+        synthesizer._warm.clear()
+        batcher2 = BatchingSynthesizer(synthesizer, max_batch_size=4)
+        msgs2 = []
+        batcher2.warmup(sample_texts=["hello there"], log=msgs2.append,
+                        max_phones=16)
+        assert any("skipped (requests snap" in m for m in msgs2)
+        assert synthesizer._warm == {(4, 16)}
+        wav = batcher2.synthesize("hello there")   # snaps to (4, 16)
+        assert wav.dtype.name == "int16" and len(wav) > 0
+        assert synthesizer._warm == {(4, 16)}      # nothing new compiled
+        batcher2.stop()
     finally:
         synthesizer.snap_to_warm = False      # module-scoped fixture
 
