@@ -6,6 +6,15 @@ self-contained number-to-words engine replacing the unavailable `inflect`
 package.  Output formatting follows inflect's conventions: 3-digit groups
 joined by ", ", "and" inserted after "hundred" (and before a trailing
 sub-hundred group) when `andword` is non-empty, hyphenated tens-units.
+
+Provenance: the regex pipeline section (`_comma_number_re` ...
+`normalize_numbers`, `_expand_dollars`, `_expand_number` branch
+structure) follows keithito/tacotron's text/numbers.py (MIT), which the
+reference vendors verbatim — the regexes, their ordering, and the
+year-reading branches ARE the behavioral spec this module must match
+golden-output-for-golden-output (tests/test_text.py).  The
+number-to-words engine below (`number_to_words`, the ordinalizer, the
+group=2 year reading) is original to this framework.
 """
 
 import re
